@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver-run): on-device featurization throughput vs the
+reference's CPU pipeline, plus AR-decoder throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The baseline is measured in-process: the reference extracts features per file
+on CPU (torch.stft + mel matmul + dB + normalize, `src/audio.py:156-177`,
+driven from DataLoader workers `src/data.py:127-128`); we run exactly that
+math with torch on this host's CPU and compare mel-frames/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _bench_tpu_featurizer(waves, lengths, iters=10):
+    import jax
+    import jax.numpy as jnp
+
+    from semi_tts_tpu.ops.features import AudioConfig, AudioFeaturizer
+
+    feat = AudioFeaturizer(AudioConfig())
+    wd, ld = jnp.asarray(waves), jnp.asarray(lengths)
+    # pre-split keys: host-side RNG ops are device round trips (expensive
+    # through the TPU tunnel) and not part of featurization throughput
+    keys = jax.block_until_ready(jax.random.split(jax.random.PRNGKey(0), iters))
+    # compile + warm
+    mel, lin, fl = jax.block_until_ready(feat.featurize(wd, ld))
+    aug, al = jax.block_until_ready(feat.featurize_augmented(wd, ld, keys[0]))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        mel, lin, fl = feat.featurize(wd, ld)
+        aug, al = feat.featurize_augmented(wd, ld, keys[i])
+    jax.block_until_ready((mel, lin, aug))
+    dt = (time.perf_counter() - t0) / iters
+    frames = int(np.asarray(fl).sum()) + int(np.asarray(al).sum())
+    return frames / dt, dt
+
+
+def _bench_cpu_reference(waves, lengths, n_files=8):
+    """Literal torch restatement of the reference clean+augmented per-file
+    pipeline on CPU (what its DataLoader workers compute per batch)."""
+    import torch
+
+    from semi_tts_tpu.ops.mel import mel_filterbank
+
+    fb = torch.from_numpy(mel_filterbank(22050, 2048, n_mels=80))
+    win = torch.hann_window(1102)
+
+    def clean(x):
+        x = torch.cat([x[:1], x[1:] - 0.97 * x[:-1]])
+        y = torch.stft(x[None], n_fft=2048, hop_length=275, win_length=1102,
+                       window=win, center=True, pad_mode="reflect",
+                       onesided=True, return_complex=True).abs()[0]
+        m = fb @ y
+        for s in (y, m):
+            pass
+        db = 20 * torch.log10(torch.clamp(m, min=1e-5)) - 20
+        return torch.clamp((db + 100) / 100, 0, 1)
+
+    def aug(x, rate=1.05):
+        sr2 = int(22050 * rate)
+        w2 = torch.hann_window(int(0.05 * sr2))
+        x = x + 0.01 * torch.randn_like(x)
+        x = torch.cat([x[:1], x[1:] - 0.97 * x[:-1]])
+        y = torch.stft(x[None], n_fft=2048, hop_length=int(0.0125 * sr2),
+                       win_length=int(0.05 * sr2), window=w2, center=True,
+                       pad_mode="reflect", onesided=True, return_complex=True).abs()[0]
+        m = fb @ y
+        db = 20 * torch.log10(torch.clamp(m, min=1e-5)) - 20
+        return torch.clamp((db + 100) / 100, 0, 1)
+
+    frames = 0
+    t0 = time.perf_counter()
+    for i in range(n_files):
+        x = torch.from_numpy(waves[i % len(waves), : lengths[i % len(waves)]].copy())
+        frames += clean(x).shape[1] + aug(x).shape[1]
+    dt = time.perf_counter() - t0
+    return frames / dt
+
+
+def _bench_decoder(iters=3):
+    """AR decoder mel-frames/sec/chip on the full-size Tacotron2 stack."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from semi_tts_tpu.models import vqvae as V
+
+    cfg, feat, phn_attr, params, state = g._build("full")
+    B, U = 64, 32
+    rng = np.random.RandomState(0)
+    text = np.zeros((B, U), np.int32)
+    text[:, : U - 2] = rng.randint(3, 43, size=(B, U - 2))
+    sid = jnp.asarray(rng.randint(0, 109, size=B).astype(np.int32))
+    text = jnp.asarray(text)
+    decode_steps = 200  # 600 mel frames / utterance
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def infer(params, state, text, sid, key):
+        lat = V.embed_text(params, cfg, phn_attr, text)
+        mel, lin, align, stop, _ = V.text_to_speech(
+            params, state, key, cfg, lat, sid, decode_steps=decode_steps,
+            train=False, teacher=None, tf_rate=0.0)
+        return mel
+
+    keys = jax.block_until_ready(jax.random.split(jax.random.PRNGKey(0), iters))
+    mel = jax.block_until_ready(infer(params, state, text, sid, keys[0]))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        mel = infer(params, state, text, sid, keys[i])
+    jax.block_until_ready(mel)
+    dt = (time.perf_counter() - t0) / iters
+    return (B * decode_steps * cfg.n_frames_per_step) / dt
+
+
+def main():
+    B, sec, sr = 128, 8.0, 22050
+    rng = np.random.RandomState(0)
+    S = int(sec * sr)
+    waves = (rng.randn(B, S) * 0.1).astype(np.float32)
+    lengths = rng.randint(int(0.7 * S), S + 1, size=B).astype(np.int32)
+
+    tpu_rate, step_dt = _bench_tpu_featurizer(waves, lengths)
+    cpu_rate = _bench_cpu_reference(waves, lengths)
+    dec_rate = _bench_decoder()
+
+    print(json.dumps({
+        "metric": "featurization_mel_frames_per_sec",
+        "value": round(tpu_rate, 1),
+        "unit": "mel-frames/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "baseline_cpu_mel_frames_per_sec": round(cpu_rate, 1),
+        "featurize_batch_ms": round(step_dt * 1e3, 2),
+        "ar_decoder_mel_frames_per_sec_per_chip": round(dec_rate, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,9 @@ class DecoderConfig:
     use_summed_weights: bool = True
     drop_dec_in: float = 0.0
     spkr_embed_mode: str = "adain"
+    # attention bypass for audio-LM pretraining (`src/module.py:241-243`,
+    # used by AudioLM in `src/lm.py:40-55`)
+    pretrain: bool = False
 
 
 def decoder_init(key, cfg: DecoderConfig):
@@ -160,11 +163,16 @@ def decoder_apply(
         q_h, q_c = lstm_cell(params["query_rnn"], q_in, c["q_h"], c["q_c"])
         q_h = dropout(k_q, q_h, cfg.query_dropout, enabled=train)
 
-        if cfg.use_summed_weights:
-            attn_hist = jnp.stack([c["attn_w"], c["attn_w_sum"]], axis=1)  # (B, 2, L)
+        if cfg.pretrain:
+            # audio-LM pretraining: no conditioning (`src/module.py:241-243`)
+            ctx = jnp.zeros_like(c["attn_ctx"])
+            w = jnp.zeros_like(c["attn_w"])
         else:
-            attn_hist = c["attn_w"][:, None, :]
-        ctx, w = attention_step(params["attn"], q_h, mem, processed_memory, attn_hist)
+            if cfg.use_summed_weights:
+                attn_hist = jnp.stack([c["attn_w"], c["attn_w_sum"]], axis=1)  # (B, 2, L)
+            else:
+                attn_hist = c["attn_w"][:, None, :]
+            ctx, w = attention_step(params["attn"], q_h, mem, processed_memory, attn_hist)
         w_sum = c["attn_w_sum"] + w
 
         if mode == "adain":

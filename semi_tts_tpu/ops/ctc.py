@@ -24,9 +24,11 @@ NEG_INF = -1e30
 def _logaddexp3(a, b, c):
     m = jnp.maximum(jnp.maximum(a, b), c)
     m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
-    out = m_safe + jnp.log(
-        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
-    )
+    # clamp the sum away from 0: when every branch is dead the forward value
+    # is discarded by the outer `where`, but log(0) would still poison the
+    # *gradient* through the kept branch (where-grad leak)
+    s = jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
+    out = m_safe + jnp.log(jnp.maximum(s, 1e-37))
     return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
 
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mel import dct_matrix, mel_filterbank, mel_pinv
-from .stft import reflect_pad_ragged, stft_magnitude
+from .stft import dynamic_hann_window, magnitude_dft, reflect_pad_ragged, stft_magnitude
 
 GFL_ITER = 30  # Griffin-Lim iterations (`src/audio.py:16`)
 MIN_LEVEL_DB = -100  # (`src/audio.py:17`)
@@ -162,45 +162,63 @@ class AudioFeaturizer:
 
     # ---------------- augmented features ----------------
 
-    def _augment_one(self, wave, length, snr, stretch_rate, key):
-        """Noise + time-stretch mel for one utterance (vmapped over the batch).
+    def _augment_impl(self, waves, lengths, snrs, rate, key):
+        """Noise + time-stretch mel for a padded batch.
 
         Mirrors `src/audio.py:358-383`: noise added to the raw wave at the
         drawn SNR, then pre-emphasis, then an STFT whose win/hop come from a
         stretched sample rate (int-truncated exactly like the reference).
+
+        TPU design note: the stretch ``rate`` (hence hop/win) is ONE draw
+        shared by the whole batch — a per-item hop makes frame extraction an
+        unaligned gather (~15x slower on TPU) while the reference's per-file
+        draw only exists because it featurizes file-by-file. Every step still
+        sees a fresh random rate; SNR noise stays per-item. Frames are
+        extracted as a ``lax.scan`` of contiguous ``dynamic_slice``s at the
+        traced hop, so one compiled program covers all rates at HBM speed.
         """
         c = self.cfg
-        pos = jnp.arange(wave.shape[0], dtype=jnp.int32)
-        in_range = pos < length
+        B, S = waves.shape
+        pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+        in_range = pos < lengths[:, None]
         if c.use_noise:
-            noise = jax.random.normal(key, wave.shape, wave.dtype)
-            pwr_sig = jnp.sum(jnp.where(in_range, wave, 0.0) ** 2)
-            pwr_noise = jnp.sum(jnp.where(in_range, noise, 0.0) ** 2)
-            coeff = jnp.sqrt(pwr_sig / pwr_noise * 10.0 ** (-snr / 10.0))
-            wave = jnp.where(in_range, wave + coeff * noise, 0.0)
+            noise = jax.random.normal(key, waves.shape, waves.dtype)
+            pwr_sig = jnp.sum(jnp.where(in_range, waves, 0.0) ** 2, axis=1)
+            pwr_noise = jnp.sum(jnp.where(in_range, noise, 0.0) ** 2, axis=1)
+            coeff = jnp.sqrt(pwr_sig / pwr_noise * 10.0 ** (-snrs / 10.0))
+            waves = jnp.where(in_range, waves + coeff[:, None] * noise, 0.0)
 
-        stretch_sr = jnp.floor(c.sample_rate * stretch_rate).astype(jnp.int32)
+        stretch_sr = jnp.floor(c.sample_rate * rate).astype(jnp.int32)
         win = jnp.floor(c.frame_length_ms / 1000.0 * stretch_sr).astype(jnp.int32)
         hop = jnp.floor(c.frame_shift_ms / 1000.0 * stretch_sr).astype(jnp.int32)
 
-        x = preemphasis(wave, c.preemphasis_coeff)
+        x = preemphasis(waves, c.preemphasis_coeff)
         x = jnp.where(in_range, x, 0.0)
-        T_max = 1 + wave.shape[0] // c.min_stretch_hop
-        frame_len = 1 + length // hop
-        spec = stft_magnitude(
-            x[None], length[None], n_fft=c.n_fft, hop=hop, win_length=win,
-            num_frames=T_max, frame_lengths=frame_len[None],
-        )[0]
+        n_fft = c.n_fft
+        T_max = 1 + S // c.min_stretch_hop
+        frame_len = 1 + lengths // hop
+
+        xp = reflect_pad_ragged(x, lengths, n_fft // 2)
+        s_last = xp.shape[1] - n_fft
+
+        def step(_, t):
+            s = jnp.minimum(t * hop, s_last)
+            return None, jax.lax.dynamic_slice(xp, (0, s), (B, n_fft))
+
+        _, frames = jax.lax.scan(step, None, jnp.arange(T_max, dtype=jnp.int32))
+        window = dynamic_hann_window(n_fft, win)
+        spec = magnitude_dft(frames * window, n_fft,
+                             precision=jax.lax.Precision.HIGH)  # (T, B, F)
         mel = self._finalize(self._mel_of_spec(spec))
-        # re-zero padded frames (dB floor of a zero frame normalizes to 0 anyway,
-        # but only because REF_LEVEL_DB > 0; keep it explicit)
-        t = jnp.arange(T_max, dtype=jnp.int32)
-        mel = jnp.where((t < frame_len)[:, None], mel, 0.0)
+        mel = jnp.swapaxes(mel, 0, 1)  # (B, T, M)
+        t = jnp.arange(T_max, dtype=jnp.int32)[None, :]
+        mel = jnp.where((t < frame_len[:, None])[:, :, None], mel, 0.0)
         return mel, frame_len
 
     @partial(jax.jit, static_argnames=("self",))
     def featurize_augmented(self, waves: jnp.ndarray, lengths: jnp.ndarray, rng: jax.Array):
-        """Augmented mel for a padded batch: per-item SNR/stretch draws.
+        """Augmented mel for a padded batch: per-item SNR draws, per-batch
+        stretch draw (see `_augment_impl`).
 
         Returns ``(aug_mel (B, T_aug, M), aug_frame_lengths (B,))``.
         """
@@ -210,9 +228,13 @@ class AudioFeaturizer:
         lo, hi = c.snr_range if c.use_noise else (0.0, 0.0)
         snrs = jax.random.uniform(k_snr, (B,), minval=float(lo), maxval=float(hi))
         rlo, rhi = c.time_stretch_range
-        rates = jax.random.uniform(k_rate, (B,), minval=float(rlo), maxval=float(rhi))
-        keys = jax.random.split(k_noise, B)
-        return jax.vmap(self._augment_one)(waves, lengths, snrs, rates, keys)
+        rate = jax.random.uniform(k_rate, (), minval=float(rlo), maxval=float(rhi))
+        return self._augment_impl(waves, lengths, snrs, rate, k_noise)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def featurize_augmented_at(self, waves, lengths, snrs, rate, rng):
+        """Deterministic-parameter variant (parity tests / reproduction)."""
+        return self._augment_impl(waves, lengths, snrs, rate, rng)
 
     # ---------------- inverses ----------------
 

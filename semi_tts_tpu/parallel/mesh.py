@@ -1,0 +1,79 @@
+"""Mesh construction and sharding rules.
+
+The reference is single-device (`/root/reference/src/solver.py:27`; SURVEY.md
+§2.2); scale-out here is TPU-native: a ``jax.sharding.Mesh`` with a ``data``
+axis (batch parallelism — the realistic need at this model size) and an
+optional ``model`` axis (tensor parallelism over the wide decoder/encoder
+matmuls). Params/batches are placed with ``NamedSharding``; XLA inserts the
+ICI collectives (psum for grad reduction, all-gathers for TP activations).
+
+Multi-host: call :func:`init_distributed` before device queries; the same
+mesh code then spans hosts (DCN between slices is handled by jax.distributed).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator=None, num_processes=None, process_id=None):
+    """Multi-host bring-up (no-op when single-process)."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes, process_id=process_id)
+
+
+def make_mesh(n_devices=None, *, model_parallel=1, devices=None) -> Mesh:
+    """('data', 'model') mesh over the first ``n_devices`` devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_devices or len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.asarray(devices[:n]).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch_tree, mesh: Mesh):
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, s) if hasattr(x, "ndim") and x.ndim >= 1 else x,
+        batch_tree)
+
+
+def _param_spec(path: str, leaf, mesh: Mesh) -> P:
+    """Tensor-parallel rule: shard the output dimension (dim 0) of the wide
+    recurrent/projection weights over 'model' when it divides evenly; bias
+    and small tensors replicate. Gate-stacked LSTM weights (4H, D) shard on
+    4H so each model shard owns whole gates-slices (XLA handles the
+    all-reduce of the recurrent matmul)."""
+    size = mesh.shape["model"]
+    if size == 1 or leaf.ndim < 2:
+        return P()
+    d0 = leaf.shape[0]
+    wide = ("w_ih" in path or "w_hh" in path or path.endswith("/w")) and d0 >= 64
+    if wide and d0 % size == 0:
+        return P("model")
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a param pytree: TP rule above, everything else replicated."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+
+    def keystr(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    placed = [jax.device_put(leaf, NamedSharding(mesh, _param_spec(keystr(kp), leaf, mesh)))
+              for kp, leaf in flat]
+    return jax.tree_util.tree_unflatten(treedef, placed)
+
+
+def replicate(tree, mesh: Mesh):
+    s = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)

@@ -1,0 +1,97 @@
+"""Optimizer + schedules (optax).
+
+Parity target: `/root/reference/src/optim.py` — torch optimizer picked by
+name with a per-step learning rate injected before each step; 'warmup'
+(4000) and 'decay' (1000) are both the Noam formula
+``init_lr * w^0.5 * min((s+1) * w^-1.5, (s+1)^-0.5)`` (`:19-27`); teacher-
+forcing rate schedule ``max(tf_end, tf_start - (tf_start-tf_end)*step/tf_step)``
+(`:9`). Gradient clipping at global-norm 5.0 with NaN-step skipping comes
+from the solver (`src/solver.py:138-151`) and is folded into the optax chain
+here so the whole update is one fused device program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+GRAD_CLIP = 5.0  # `src/solver.py:21`
+
+
+def noam_schedule(init_lr: float, warmup_step: float):
+    def lr(step):
+        s = step + 1.0
+        return init_lr * warmup_step**0.5 * jnp.minimum(s * warmup_step**-1.5, s**-0.5)
+
+    return lr
+
+
+def make_lr_schedule(lr: float, lr_scheduler: str):
+    if lr_scheduler == "warmup":
+        return noam_schedule(lr, 4000.0)
+    if lr_scheduler == "decay":
+        return noam_schedule(lr, 1000.0)
+    return lambda step: lr  # 'fixed'
+
+
+def tf_rate_schedule(tf_start=1.0, tf_end=1.0, tf_step=1):
+    return lambda step: max(tf_end, tf_start - (tf_start - tf_end) * step / tf_step)
+
+
+_OPTAX_BY_TORCH_NAME = {
+    "adam": optax.scale_by_adam,
+    "adamw": optax.scale_by_adam,  # weight decay added below
+    "rmsprop": optax.scale_by_rms,
+    "sgd": lambda: optax.identity(),
+    "adadelta": optax.scale_by_adadelta,
+}
+
+
+def make_optimizer(optimizer: str = "Adam", lr: float = 1e-3, lr_scheduler: str = "decay",
+                   weight_decay: float = 0.0, **unused):
+    """Returns (optax.GradientTransformation, lr_schedule_fn).
+
+    Chain: clip_by_global_norm(5) -> (adam|...) -> scheduled lr -> NaN-step
+    skip (the reference skips `opt.step()` when the grad norm is NaN).
+    """
+    name = optimizer.lower()
+    if name not in _OPTAX_BY_TORCH_NAME:
+        raise NotImplementedError(f"optimizer {optimizer}")
+    schedule = make_lr_schedule(lr, lr_scheduler)
+    chain = [optax.clip_by_global_norm(GRAD_CLIP), _OPTAX_BY_TORCH_NAME[name]()]
+    if name == "adamw" and weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.scale_by_learning_rate(schedule))
+    tx = optax.chain(*chain)
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=10**9)
+    return tx, schedule
+
+
+def global_norm(grads):
+    return optax.global_norm(grads)
+
+
+class Optimizer:
+    """Thin reference-shaped facade (`src/optim.py:4-54`) over the optax
+    transformation, for solvers that want the pre_step/step API."""
+
+    def __init__(self, optimizer="Adam", lr=1e-3, lr_scheduler="decay",
+                 tf_start=1.0, tf_end=1.0, tf_step=1,
+                 recon_init_weight=1.0, recon_decay=0.0, **kwargs):
+        self.opt_type, self.sch_type = optimizer, lr_scheduler
+        self.tf_type = tf_end != 1
+        self.recon_sch = recon_init_weight != 1.0
+        self.tx, self.lr_fn = make_optimizer(optimizer, lr, lr_scheduler)
+        self.tf_rate = tf_rate_schedule(tf_start, tf_end, tf_step)
+
+    def init(self, params):
+        return self.tx.init(params)
+
+    def pre_step(self, step):
+        return self.tf_rate(step)
+
+    def create_msg(self):
+        return ["Optim.spec.| Algo. = {}\t| Lr/sampling/rec.loss scheduler = {}/{}/{}".format(
+            self.opt_type, self.sch_type, self.tf_type, self.recon_sch)]

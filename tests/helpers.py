@@ -1,0 +1,139 @@
+"""Shared test fixtures: a tiny synthetic corpus + scaled-down experiment
+config exercising the full CLI/config schema without real VCTK audio."""
+
+from __future__ import annotations
+
+import json
+import os
+from argparse import Namespace
+from os.path import join
+
+import numpy as np
+
+from semi_tts_tpu.data import wavio
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+VOCAB = [l.strip() for l in open(join(REPO, "data/cmu_phn.vocab"))]
+SR = 22050
+
+
+def make_synthetic_corpus(root, n_per_split=(4, 4, 2, 2), seed=0):
+    """Create wavs + partition table + spkr map + g2p map table under root.
+
+    Returns the `data.corpus` config dict.
+    """
+    rng = np.random.RandomState(seed)
+    audio_dir = join(root, "audio-corpus")
+    speakers = ["p001", "p002"]
+    spkr_map = {s: i for i, s in enumerate(speakers)}
+    spkr_map["lj"] = len(speakers)
+
+    rows = ["{},speaker,split,duration".format("")]
+    map_rows = ["\tphn_seq\tspkr"]
+    splits = ["paired", "unpaired", "dev", "test"]
+    fid_n = 0
+    for split, n in zip(splits, n_per_split):
+        for _ in range(n):
+            spk = speakers[fid_n % 2]
+            fid = f"{spk}_{fid_n:03d}"
+            fid_n += 1
+            dur = rng.uniform(0.35, 0.7)
+            L = int(dur * SR)
+            t = np.arange(L) / SR
+            f0 = rng.uniform(120, 400)
+            wav = (0.4 * np.sin(2 * np.pi * f0 * t)
+                   + 0.1 * rng.randn(L)).astype(np.float32) * 0.5
+            os.makedirs(join(audio_dir, spk), exist_ok=True)
+            wavio.write(join(audio_dir, spk, fid + ".wav"), wav, SR)
+            rows.append(f"{fid},{spk},{split},{dur:.2f}")
+            phns = " ".join(rng.choice(VOCAB, size=rng.randint(4, 9)))
+            map_rows.append(f"{fid}\t{phns}\t{spk}")
+
+    with open(join(root, "partition.csv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    with open(join(root, "map_table.csv"), "w") as f:
+        f.write("\n".join(map_rows) + "\n")
+    with open(join(root, "spkr.json"), "w") as f:
+        json.dump(spkr_map, f)
+
+    return {
+        "name": "vctk",
+        "path": audio_dir,
+        "bucketing": False,
+        "batch_size": 2,
+        "spkr_map": join(root, "spkr.json"),
+        "partition_table": join(root, "partition.csv"),
+        "map_table": join(root, "map_table.csv"),
+        "vocab_file": join(REPO, "data/cmu_phn.vocab"),
+    }
+
+
+def tiny_config(root, *, bone="seperate", unpair_speech=0.0, unpair_text=0.0,
+                valid_step=100, max_step=2, separate_postnet=False):
+    """Full reference-schema config scaled down for CPU tests."""
+    return {
+        "data": {
+            "corpus": make_synthetic_corpus(root),
+            "audio": {
+                "num_freq": 257, "num_mels": 20,
+                "frame_length_ms": 20, "frame_shift_ms": 10,
+                "preemphasis_coeff": 0.97, "sample_rate": SR,
+                "use_linear": True,
+                "snr_range": [10, 100], "time_stretch_range": [0.9, 1.1],
+            },
+        },
+        "hparas": {
+            "valid_step": valid_step, "max_step": max_step,
+            "asr_weight": 1.0, "tts_weight": 1.0,
+            "unpair_text_start_step": 0, "unpair_text_weight": unpair_text,
+            "unpair_speech_start_step": 0, "unpair_speech_weight": unpair_speech,
+            "optimizer": "Adam", "lr": 0.001, "lr_scheduler": "decay",
+            "freq_loss_type": "mse", "differential_loss": True,
+            "emphasize_linear_low": True,
+            "tf_start": 1.0, "tf_end": 1.0, "tf_step": 50000,
+        },
+        "model": {
+            "stop_threshold": 0.5, "max_frames_per_phn": 3,
+            "txt_update_codebook": False, "spkr_latent_dim": 8,
+            "encoder": {
+                "dim": 16, "kernel": [3, 4], "stride": [1, 2],
+                "residual": [0, 0], "dropout": 0.5, "activation": "Tanh",
+                "batch_norm": True, "rnn_bid": True, "rnn_layers": 1,
+                "rnn_dim": 8, "layer_norm": False,
+            },
+            "codebook": {
+                "bone": bone, "softmax": "normal", "latent_dim": 12,
+                "commit_weight": 0, "vq_weight": 0, "temp": 1,
+                "skip_prob": 0, "stop_grad": True,
+                "phn_attr_pth": join(REPO, "data/phn_attr.csv"),
+                "proj_attr": 4,
+            },
+            "decoder": {
+                "separate_postnet": separate_postnet,
+                "encoder": {
+                    "enc_n_conv": 2, "enc_kernel_size": 5, "enc_rnn_layer": 1,
+                    "enc_embed_dim": 16, "enc_dropout": 0.0,
+                },
+                "decoder": {
+                    "n_frames_per_step": 3, "prenet_dim": 8,
+                    "prenet_dropout": 0.5, "query_rnn_dim": 16,
+                    "dec_rnn_dim": 16, "query_dropout": 0.1, "dec_dropout": 0.1,
+                    "attn_dim": 8, "n_location_filters": 4,
+                    "location_kernel_size": 7, "loc_aware": True,
+                    "use_summed_weights": True, "drop_dec_in": 0.0,
+                },
+            },
+        },
+    }
+
+
+def make_paras(root, **kw):
+    defaults = dict(config=join(root, "cfg.yaml"), name=None,
+                    logdir=join(root, "log"), ckpdir=join(root, "ckpt"),
+                    load=None, seed=0, njobs=0, cpu=True, debug=False,
+                    no_pin=True, gen_wav=False, actual_len=False,
+                    store_best_per=False, verbose=False, gpu=False,
+                    pin_memory=False)
+    defaults.update(kw)
+    return Namespace(**defaults)

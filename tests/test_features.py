@@ -109,10 +109,10 @@ def test_augmented_matches_reference_at_fixed_draw():
     L = 26000
     wave = rng.randn(L).astype(np.float32) * 0.2
     rate = 1.04
-    got_mel, got_len = feat._augment_one(jnp.asarray(np.pad(wave, (0, 2000))),
-                                         jnp.int32(L), jnp.float32(0.0),
-                                         jnp.float32(rate), jax.random.PRNGKey(0))
-    got_mel, got_len = np.asarray(got_mel), int(got_len)
+    got_mel, got_len = feat.featurize_augmented_at(
+        jnp.asarray(np.pad(wave, (0, 2000)))[None], jnp.asarray([L]),
+        jnp.zeros((1,)), jnp.float32(rate), jax.random.PRNGKey(0))
+    got_mel, got_len = np.asarray(got_mel)[0], int(got_len[0])
 
     stretch_sr = int(22050 * rate)
     win, hop = int(0.05 * stretch_sr), int(0.0125 * stretch_sr)

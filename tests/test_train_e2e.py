@@ -1,0 +1,127 @@
+"""End-to-end solver tests on the synthetic corpus: supervised training,
+semi-supervised cycles, checkpoint/resume, and gen_specgram inference."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from helpers import make_paras, tiny_config
+
+
+@pytest.fixture(scope="module")
+def supervised_run(tmp_path_factory):
+    """Train 3 supervised steps (validation at step 1), keep the artifacts."""
+    root = str(tmp_path_factory.mktemp("sup"))
+    cfg = tiny_config(root, bone="seperate", max_step=3, valid_step=2)
+    paras = make_paras(root)
+    from semi_tts_tpu.train.train_vqvae import VqvaeTrainer
+
+    solver = VqvaeTrainer(cfg, paras, "train")
+    solver.load_data()
+    solver.set_model()
+    solver.exec()
+    # the best-metric policy only saves on dev improvement after step 1
+    # (reference quirk, bin/train_vqvae.py:388-395) — save a final one for
+    # the downstream inference/resume tests
+    solver.save_checkpoint_triple("final.pth", 0.0, params=solver.params,
+                                  state=solver.state, opt_state=solver.opt_state)
+    return root, cfg, paras, solver
+
+
+def test_supervised_training_runs(supervised_run):
+    _, _, _, solver = supervised_run
+    assert solver.step >= 3
+    # params updated and finite
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(solver.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_checkpoint_saved_and_loadable(supervised_run):
+    root, cfg, paras, solver = supervised_run
+    # validation at step 2 should have checkpointed (best tts / best per)
+    ckpts = glob.glob(os.path.join(solver.ckpdir, "*.pth"))
+    assert ckpts, "no checkpoint written"
+    from semi_tts_tpu.train.checkpoint import load_checkpoint
+
+    ck = load_checkpoint(ckpts[0])
+    assert ck["global_step"] >= 1
+    assert "asr" in ck["model"] and "tts" in ck["model"]
+
+
+def test_gen_specgram_inference(supervised_run):
+    root, cfg, paras, solver = supervised_run
+    ckpts = sorted(glob.glob(os.path.join(solver.ckpdir, "*.pth")))
+    from semi_tts_tpu.train.gen_specgram import SpecgramGenerator
+
+    paras2 = make_paras(root, load=ckpts[-1], gen_wav=True)
+    gen = SpecgramGenerator(cfg, paras2, "test")
+    gen.load_data()
+    gen.set_model()
+    gen.exec()
+    outdir = gen.logdir + "_%dk" % (gen.step // 1000)
+    mels = glob.glob(os.path.join(outdir, "*-mel.npy"))
+    specs = glob.glob(os.path.join(outdir, "*-spec.npy"))
+    aligns = glob.glob(os.path.join(outdir, "*-align.npy"))
+    wavs = glob.glob(os.path.join(outdir, "*-pred.wav"))
+    assert len(mels) == 2 and len(specs) == 2 and len(aligns) == 2 and len(wavs) == 2
+    m = np.load(mels[0])
+    assert m.ndim == 2 and m.shape[1] == 20 and np.isfinite(m).all()
+    a = np.load(aligns[0])
+    assert a.ndim == 2 and np.isfinite(a).all()
+    from semi_tts_tpu.data import wavio
+
+    w, sr = wavio.read(wavs[0])
+    assert sr == 22050 and w.shape[1] > 1000
+
+
+def test_resume_from_checkpoint(supervised_run):
+    root, cfg, paras, solver = supervised_run
+    ckpts = sorted(glob.glob(os.path.join(solver.ckpdir, "*.pth")))
+    from semi_tts_tpu.train.train_vqvae import VqvaeTrainer
+
+    cfg2 = dict(cfg)
+    cfg2["hparas"] = dict(cfg["hparas"], max_step=solver.step + 1, valid_step=10**6)
+    paras2 = make_paras(root, load=ckpts[-1])
+    s2 = VqvaeTrainer(cfg2, paras2, "train")
+    s2.load_data()
+    s2.set_model()
+    assert s2.step >= 1  # resumed
+    s2.exec()
+    assert s2.step >= s2.max_step
+
+
+def test_semi_supervised_cycles(tmp_path):
+    """4 steps with l2 codebook + unpaired speech & text: exercises the
+    speech-first and text-first compiled variants."""
+    root = str(tmp_path)
+    cfg = tiny_config(root, bone="l2", unpair_speech=10.0, unpair_text=1.0,
+                      max_step=4, valid_step=100, separate_postnet=True)
+    paras = make_paras(root)
+    from semi_tts_tpu.train.train_vqvae import VqvaeTrainer
+
+    solver = VqvaeTrainer(cfg, paras, "train")
+    solver.load_data()
+    solver.set_model()
+    solver.exec()
+    assert solver.step >= 4
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(solver.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_asr_only_trainer(tmp_path):
+    root = str(tmp_path)
+    cfg = tiny_config(root, bone="seperate", max_step=2, valid_step=2)
+    paras = make_paras(root, store_best_per=True)
+    from semi_tts_tpu.train.train_asr import AsrTrainer
+
+    solver = AsrTrainer(cfg, paras, "train")
+    solver.load_data()
+    solver.set_model()
+    solver.exec()
+    assert solver.step >= 2
