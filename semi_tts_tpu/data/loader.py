@@ -88,15 +88,36 @@ class TTSLoader:
                 return b
         return _round_up(n, self.bucket_samples[-1])
 
-    def _collate(self, items):
-        fpaths, sids = zip(*items)
-        waves, lens = [], []
+    def _decode_batch(self, fpaths):
+        """Decode wavs -> list of 1-D float32 arrays; native C++ pool when
+        available (semi_tts_tpu/native), pure-python wavio otherwise."""
+        from .. import native
+
+        cap = self.bucket_samples[-1]
+        res = native.wav_read_batch(list(fpaths), cap, channel=0, n_threads=4)
+        waves = []
+        if res is not None:
+            arr, lengths, srs = res
+            for i, f in enumerate(fpaths):
+                if lengths[i] < 0:  # per-file fallback (odd format)
+                    w, sr = wavio.read(f)
+                    assert sr == self.sr, f"Sample rate mismatch. Expected {self.sr} but get {sr}"
+                    waves.append(w[0])
+                else:
+                    assert srs[i] == self.sr, \
+                        f"Sample rate mismatch. Expected {self.sr} but get {srs[i]}"
+                    waves.append(arr[i, : lengths[i]])
+            return waves
         for f in fpaths:
             w, sr = wavio.read(f)
             assert sr == self.sr, f"Sample rate mismatch. Expected {self.sr} but get {sr}"
-            w = w[0]  # channel 0 (`src/audio.py:177`)
-            waves.append(w)
-            lens.append(len(w))
+            waves.append(w[0])  # channel 0 (`src/audio.py:177`)
+        return waves
+
+    def _collate(self, items):
+        fpaths, sids = zip(*items)
+        waves = self._decode_batch(fpaths)
+        lens = [len(w) for w in waves]
         # sort batch by length desc (`src/data.py:130`)
         order = np.argsort(-np.asarray(lens), kind="stable")
         waves = [waves[i] for i in order]

@@ -194,3 +194,46 @@ def seq_mask(lengths, max_len):
 def xavier_normal_embedding_init(key, n, d):
     """nn.Embedding default: N(0, 1)."""
     return jax.random.normal(key, (n, d), dtype=jnp.float32)
+
+
+# ---------------- conv-stack Postnet (`src/module.py:53-82`) ----------------
+# (defined-but-unused upstream — the live model uses CBHG; provided for parity)
+
+def postnet_init(key, n_mels, embed_dim, kernel_size, n_conv):
+    in_size = [n_mels] + [embed_dim] * (n_conv - 1)
+    out_size = [embed_dim] * (n_conv - 1) + [n_mels]
+    gains = ["tanh"] * (n_conv - 1) + ["linear"]
+    keys = jax.random.split(key, n_conv)
+    convs, bns, bn_state = [], [], []
+    for k, di, do, g in zip(keys, in_size, out_size, gains):
+        convs.append(conv1d_init(k, di, do, kernel_size, w_init_gain=g))
+        bp, bs = batchnorm_init(do)
+        bns.append(bp)
+        bn_state.append(bs)
+    return {"convs": convs, "bn": bns}, {"bn": bn_state}
+
+
+def postnet_apply(params, state, rng, x, *, drop_rate, train):
+    new_bn = []
+    n = len(params["convs"])
+    for i, (conv_p, bn_p, bn_s) in enumerate(zip(params["convs"], params["bn"],
+                                                 state["bn"])):
+        x = conv1d(conv_p, x)
+        x, s2 = batchnorm(bn_p, bn_s, x, train=train)
+        new_bn.append(s2)
+        if i < n - 1:  # tanh on all but the last layer
+            x = jnp.tanh(x)
+        rng, sub = jax.random.split(rng)
+        x = dropout(sub, x, drop_rate, enabled=train)
+    return x, {"bn": new_bn}
+
+
+def sinusoid_encoding_table(n_position, d_hid, padding_idx=None):
+    """Sinusoid position encoding (`src/util.py:193-211`)."""
+    pos = np.arange(n_position)[:, None].astype(np.float64)
+    dim = np.arange(d_hid)[None, :].astype(np.float64)
+    angle = pos / np.power(10000.0, 2.0 * (dim // 2) / d_hid)
+    table = np.where(dim % 2 == 0, np.sin(angle), np.cos(angle))
+    if padding_idx is not None:
+        table[padding_idx] = 0.0
+    return jnp.asarray(table, jnp.float32)

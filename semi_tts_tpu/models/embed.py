@@ -65,7 +65,12 @@ def codebook_init(key, cfg: CodebookConfig, phn_attr=None):
     """phn_attr: (vocab_size, attr_dim) frozen phonological attributes
     (rows 0..2 zeros for the specials; `src/util.py:240-245`)."""
     ks = jax.random.split(key, 4)
-    p = {"temp": jnp.asarray([cfg.temp], jnp.float32)}  # buffer unless temp<0 upstream
+    p = {}
+    if cfg.temp < 0:
+        # learnable temperature, init 1.0 (`src/embed.py:33-36`); temp >= 0
+        # is a frozen buffer handled as a config constant (not a param, so
+        # the optimizer can't drift it)
+        p["temp"] = jnp.asarray([1.0], jnp.float32)
     if cfg.use_phn_attr:
         assert phn_attr is not None and phn_attr.shape == (cfg.vocab_size, cfg.attr_dim)
         p["proj_attr"] = torch_linear_init(ks[0], cfg.attr_dim, cfg.proj_attr)
@@ -90,6 +95,18 @@ def _full_table(params, cfg: CodebookConfig, phn_attr, *, detach=False):
             proj = jax.lax.stop_gradient(proj)
         table = jnp.concatenate([table, proj], axis=-1)
     return table  # (V, latent_dim)
+
+
+def full_codebook_table(params, cfg: CodebookConfig, phn_attr=None):
+    """The complete embedding table (learnable part ++ projected attributes)
+    — the reference's `.embedding` property (`src/embed.py:87-94`), used for
+    the TensorBoard embedding projector log (`bin/train_vqvae.py:425`)."""
+    if cfg.bone == "l2":
+        return _full_table(params, cfg, phn_attr)
+    emb = params["embedding"]
+    if cfg.use_phn_attr:
+        emb = jnp.concatenate([emb, linear(params["proj_attr"], phn_attr)], axis=-1)
+    return emb
 
 
 def codebook_inference(params, cfg: CodebookConfig, txt, phn_attr=None):
@@ -132,7 +149,7 @@ def codebook_forward(params, cfg: CodebookConfig, enc_embs, *, phn_attr=None,
     # ---- 'l2' bone ----
     B, S, _ = enc_embs.shape
     table = _full_table(params, cfg, phn_attr)
-    temp = jax.nn.relu(params["temp"])
+    temp = jax.nn.relu(params["temp"] if cfg.temp < 0 else jnp.float32(cfg.temp))
     if first_n_real_mel > 0:
         sim_real = temp * neg_batch_l2(enc_embs[:first_n_real_mel], table)
         table_d = _full_table(params, cfg, phn_attr, detach=True)

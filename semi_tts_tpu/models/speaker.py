@@ -25,17 +25,19 @@ def speaker_encoder_init(key, in_dim, out_dim, kernel_size, filters, *args):
         bp, bs = batchnorm_init(do)
         bns.append(bp)
         bn_state.append(bs)
-    return {"convs": convs, "bn": bns, "gains": tuple(gains)}, {"bn": bn_state}
+    return {"convs": convs, "bn": bns}, {"bn": bn_state}
 
 
 def speaker_encoder_apply(params, state, rng, x, *, drop_rate: float, train: bool):
     """x: (B, T, n_mels) -> (B, out_dim) = concat(mean, std) over time."""
     new_bn = []
-    for conv_p, bn_p, bn_s, g in zip(params["convs"], params["bn"], state["bn"], params["gains"]):
+    n = len(params["convs"])
+    for i, (conv_p, bn_p, bn_s) in enumerate(zip(params["convs"], params["bn"],
+                                                 state["bn"])):
         x = conv1d(conv_p, x)
         x, s2 = batchnorm(bn_p, bn_s, x, train=train)
         new_bn.append(s2)
-        if g == "relu":
+        if i < n - 1:  # relu on all but the last ('linear') layer
             x = jax.nn.relu(x)
         rng, sub = jax.random.split(rng)
         x = dropout(sub, x, drop_rate, enabled=train)

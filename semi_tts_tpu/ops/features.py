@@ -271,3 +271,38 @@ class AudioFeaturizer:
         d1 = delta(mf)
         d2 = delta(d1)
         return jnp.concatenate([mf, d1, d2], axis=-1)
+
+
+def cmvn(x, axis=-2, eps: float = 1e-10):
+    """Global cepstral mean/variance normalization over the time axis
+    (`lib/mfcc.py:10-33`; std is torch's unbiased default)."""
+    mean = jnp.mean(x, axis=axis, keepdims=True)
+    n = x.shape[axis]
+    var = jnp.var(x, axis=axis, keepdims=True) * (n / max(n - 1, 1))
+    return (x - mean) / (eps + jnp.sqrt(var))
+
+
+def segment_features(feat, boundary_ratios, min_segment_len: int = 2):
+    """Slice a (T, D) feature into per-phone segments (S, T_seg_max, D) from
+    boundary ratios (`src/audio.py:94-117` + `compute_len_ratio` `:425-432`).
+    Host-side numpy utility — the segment path is offline/dormant upstream.
+    """
+    feat = np.asarray(feat)
+    T, D = feat.shape
+    points, prev, max_len = [], 0, 0
+    for b in boundary_ratios:
+        sp = round(b * T)
+        if sp - prev >= min_segment_len:
+            points.append((prev, sp))
+            max_len = max(max_len, sp - prev)
+            prev = sp
+    out = np.zeros((len(points), max_len, D), feat.dtype)
+    for i, (l, r) in enumerate(points):
+        out[i, : r - l] = feat[l:r]
+    return out
+
+
+def compute_len_ratio(v: str):
+    """'12_34_56' boundary string -> ratios over the max (`src/audio.py:425-432`)."""
+    vals = list(map(float, v.split("_")))
+    return [t / vals[-1] for t in vals]

@@ -85,12 +85,19 @@ class Optimizer:
         self.recon_sch = recon_init_weight != 1.0
         self.tx, self.lr_fn = make_optimizer(optimizer, lr, lr_scheduler)
         self.tf_rate = tf_rate_schedule(tf_start, tf_end, tf_step)
+        self._recon_init, self._recon_decay = recon_init_weight, recon_decay
 
     def init(self, params):
         return self.tx.init(params)
 
     def pre_step(self, step):
         return self.tf_rate(step)
+
+    def recon_rate(self, step):
+        # reference quirk: its method shadowed the schedule lambda
+        # (`src/optim.py:11` vs `:49-50`); this is the intended decay
+        return max(1.0, self._recon_init - (self._recon_init - 1.0)
+                   * step / max(self._recon_decay, 1.0))
 
     def create_msg(self):
         return ["Optim.spec.| Algo. = {}\t| Lr/sampling/rec.loss scheduler = {}/{}/{}".format(

@@ -180,6 +180,8 @@ class VqvaeTrainer(BaseSolver):
             self.timer.cnt("bw")
 
             if self.step == 1 or self.step % self._PROGRESS_STEP == 0:
+                if not np.isfinite(float(mets["total_loss"])):
+                    cnter["ctc_nan"] += 1  # non-finite step (update was skipped)
                 total = float(mets["total_loss"])
                 gnorm = float(mets["grad_norm"])
                 self.progress(
@@ -282,3 +284,10 @@ class VqvaeTrainer(BaseSolver):
                 self.write_log(f"dv_align{i}", feat_to_fig(a_p))
         self.write_log("speech_loss", {"dev": dev_tts_loss})
         self.write_log("per", {"dev": dev_per, "dev_post": dev_post_per})
+        # codebook embedding projector (`bin/train_vqvae.py:425`)
+        from ..models.embed import full_codebook_table
+
+        table = full_codebook_table(
+            self.params["codebook"], self.model_cfg.codebook,
+            None if self.phn_attr is None else jax.numpy.asarray(self.phn_attr))
+        self.write_log("codebook", (np.asarray(table), self.tokenizer._vocab_list))

@@ -18,7 +18,13 @@ SEP = "\t"
 
 
 def edit_distance(a, b) -> int:
-    """Levenshtein distance (numpy DP over the shorter axis)."""
+    """Levenshtein distance (native C++ kernel when built; numpy DP fallback
+    defines the semantics)."""
+    from .. import native
+
+    d = native.edit_distance(list(a), list(b))
+    if d is not None:
+        return d
     a, b = list(a), list(b)
     if len(a) < len(b):
         a, b = b, a

@@ -1,0 +1,100 @@
+"""Data layer: text codec, WAV I/O, corpus tables, bucketed loader."""
+
+import json
+
+import numpy as np
+import pytest
+
+from helpers import REPO, make_synthetic_corpus
+from semi_tts_tpu.data import wavio
+from semi_tts_tpu.data.corpus import VCTKDataset, create_dataset
+from semi_tts_tpu.data.loader import TTSLoader, infinite
+from semi_tts_tpu.data.text import PhoneTextEncoder, load_text_encoder
+
+
+def test_text_encoder_vocab_and_encode():
+    enc = PhoneTextEncoder.load_from_file(f"{REPO}/data/cmu_phn.vocab")
+    assert enc.vocab_size == 43  # 3 specials + 40 (`SURVEY.md`)
+    assert enc.pad_idx == 0 and enc.space_idx == 1 and enc.eos_idx == 2
+    ids = enc.encode("hh ah  l ow")
+    # '' between double spaces -> <space>; trailing <pad> appended (src/text.py:65)
+    assert ids[-1] == 0
+    assert enc.idx_to_vocab(ids[0]) == "hh"
+    assert 1 in ids
+    assert enc.decode([3, 1, 4]).split(" ")[1] == "<space>"
+
+
+def test_wavio_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    w = (rng.randn(2, 5000) * 0.3).clip(-1, 1).astype(np.float32)
+    for subtype, atol in [("PCM_16", 1e-4), ("FLOAT", 1e-7)]:
+        p = tmp_path / f"x_{subtype}.wav"
+        wavio.write(str(p), w, 22050, subtype=subtype)
+        back, sr = wavio.read(str(p))
+        assert sr == 22050 and back.shape == w.shape
+        np.testing.assert_allclose(back, w, atol=atol)
+    assert abs(wavio.duration(str(tmp_path / "x_FLOAT.wav")) - 5000 / 22050) < 1e-6
+
+
+def test_corpus_splits_and_sorting(tmp_path):
+    corpus = make_synthetic_corpus(str(tmp_path))
+    up, pr, dv, ts, msg = create_dataset(**corpus, inference_stage=True)
+    assert len(pr) == 4 and len(up) == 4 and len(dv) == 2 and len(ts) == 2
+    # sorted by duration descending (`corpus/vctk.py:33`)
+    durs = pr.table.duration.tolist()
+    assert durs == sorted(durs, reverse=True)
+    path, sid = pr[0]
+    assert path.endswith(".wav") and isinstance(sid, (int, np.integer))
+    assert "size = 4" in pr.get_statics()
+
+
+def test_test_split_drops_lj_speaker(tmp_path):
+    corpus = make_synthetic_corpus(str(tmp_path))
+    # mark one test row as the 'lj' speaker
+    import pandas as pd
+
+    t = pd.read_csv(corpus["partition_table"], index_col=0)
+    spkr_map = json.load(open(corpus["spkr_map"]))
+    ds_before = VCTKDataset(corpus["path"], corpus["partition_table"], "test",
+                            False, 2, corpus["spkr_map"])
+    assert (ds_before.table.speaker != spkr_map["lj"]).all()
+
+
+def test_loader_batches_and_bucketing(tmp_path):
+    corpus = make_synthetic_corpus(str(tmp_path))
+    tok = load_text_encoder("phoneme", corpus["vocab_file"], corpus["map_table"])
+    ds = VCTKDataset(corpus["path"], corpus["partition_table"], "paired",
+                     False, 2, corpus["spkr_map"])
+    loader = TTSLoader(ds, tok, shuffle=True, drop_last=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 2
+    b = batches[0]
+    assert b.waves.shape[0] == 2 and b.waves.dtype == np.float32
+    assert b.waves.shape[1] in loader.bucket_samples
+    # sorted by length desc within batch (`src/data.py:130`)
+    assert b.wave_len[0] >= b.wave_len[1]
+    assert (b.text[np.arange(2), b.text_len - 1] == 0).all()  # trailing pad token
+    assert len(b.fids) == 2
+
+    # bucketing=True: each index yields a bucket of similar-duration items
+    ds2 = VCTKDataset(corpus["path"], corpus["partition_table"], "paired",
+                      True, 2, corpus["spkr_map"])
+    assert ds2.bs_for_collate == 1
+    loader2 = TTSLoader(ds2, tok, shuffle=False, drop_last=False, seed=0)
+    b2 = next(iter(loader2))
+    assert b2.waves.shape[0] == 2  # one bucket of batch_size items
+
+    # infinite cycling
+    it = infinite(loader)
+    seen = [next(it) for _ in range(5)]
+    assert len(seen) == 5
+
+
+def test_loader_prefetch_error_propagates(tmp_path):
+    corpus = make_synthetic_corpus(str(tmp_path))
+    tok = load_text_encoder("phoneme", corpus["vocab_file"], corpus["map_table"])
+    ds = VCTKDataset(corpus["path"], corpus["partition_table"], "paired",
+                     False, 2, corpus["spkr_map"])
+    loader = TTSLoader(ds, tok, shuffle=False, drop_last=True, seed=0, sample_rate=16000)
+    with pytest.raises(AssertionError, match="Sample rate"):
+        list(loader)
