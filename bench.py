@@ -27,18 +27,27 @@ def _bench_tpu_featurizer(waves, lengths, iters=10):
 
     feat = AudioFeaturizer(AudioConfig())
     wd, ld = jnp.asarray(waves), jnp.asarray(lengths)
-    # pre-split keys: host-side RNG ops are device round trips (expensive
-    # through the TPU tunnel) and not part of featurization throughput
-    keys = jax.block_until_ready(jax.random.split(jax.random.PRNGKey(0), iters))
-    # compile + warm
-    mel, lin, fl = jax.block_until_ready(feat.featurize(wd, ld))
-    aug, al = jax.block_until_ready(feat.featurize_augmented(wd, ld, keys[0]))
+
+    # Chain the iterations inside ONE program with a single scalar readback:
+    # immune to host dispatch / TPU-tunnel round-trip latency, measures pure
+    # device compute.
+    @jax.jit
+    def chained(w, l, key):
+        def body(i, carry):
+            s, k = carry
+            m, lin, fl = feat.featurize(w + i * 1e-6, l)
+            a, al = feat.featurize_augmented(w + i * 1e-6, l, jax.random.fold_in(k, i))
+            return (s + m[0, 0, 0] + lin[0, 0, 0] + a[0, 0, 0], k)
+        s, _ = jax.lax.fori_loop(0, iters, body, (0.0, key))
+        return s
+
+    key = jax.random.PRNGKey(0)
+    float(chained(wd, ld, key))  # compile + warm
     t0 = time.perf_counter()
-    for i in range(iters):
-        mel, lin, fl = feat.featurize(wd, ld)
-        aug, al = feat.featurize_augmented(wd, ld, keys[i])
-    jax.block_until_ready((mel, lin, aug))
+    float(chained(wd, ld, key))
     dt = (time.perf_counter() - t0) / iters
+    _, _, fl = feat.featurize(wd, ld)
+    _, al = feat.featurize_augmented(wd, ld, key)
     frames = int(np.asarray(fl).sum()) + int(np.asarray(al).sum())
     return frames / dt, dt
 
@@ -112,12 +121,17 @@ def _bench_decoder(iters=3):
             train=False, teacher=None, tf_rate=0.0)
         return mel
 
-    keys = jax.block_until_ready(jax.random.split(jax.random.PRNGKey(0), iters))
-    mel = jax.block_until_ready(infer(params, state, text, sid, keys[0]))
+    @jax.jit
+    def chained(params, state, text, sid, key):
+        def body(i, s):
+            mel = infer(params, state, text, sid, jax.random.fold_in(key, i))
+            return s + mel[0, 0, 0]
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    key = jax.random.PRNGKey(0)
+    float(chained(params, state, text, sid, key))  # compile + warm
     t0 = time.perf_counter()
-    for i in range(iters):
-        mel = infer(params, state, text, sid, keys[i])
-    jax.block_until_ready(mel)
+    float(chained(params, state, text, sid, key))
     dt = (time.perf_counter() - t0) / iters
     return (B * decode_steps * cfg.n_frames_per_step) / dt
 
