@@ -145,13 +145,14 @@ def decoder_apply(
 
     dec_in0 = prenet(params["prenet"], k_go, jnp.zeros((B, r * M)), cfg.prenet_dropout)
 
+    dt = memory.dtype  # follow param/activation dtype (fp32 train, bf16 serving)
     carry0 = dict(
         rng=k_scan,
-        q_h=jnp.zeros((B, cfg.query_rnn_dim)), q_c=jnp.zeros((B, cfg.query_rnn_dim)),
-        d_h=jnp.zeros((B, cfg.dec_rnn_dim)), d_c=jnp.zeros((B, cfg.dec_rnn_dim)),
-        attn_w=jnp.zeros((B, L)), attn_w_sum=jnp.zeros((B, L)),
-        attn_ctx=jnp.zeros((B, cfg.enc_embed_dim)),
-        dec_in=dec_in0,
+        q_h=jnp.zeros((B, cfg.query_rnn_dim), dt), q_c=jnp.zeros((B, cfg.query_rnn_dim), dt),
+        d_h=jnp.zeros((B, cfg.dec_rnn_dim), dt), d_c=jnp.zeros((B, cfg.dec_rnn_dim), dt),
+        attn_w=jnp.zeros((B, L), dt), attn_w_sum=jnp.zeros((B, L), dt),
+        attn_ctx=jnp.zeros((B, cfg.enc_embed_dim), dt),
+        dec_in=dec_in0.astype(dt),
     )
 
     def step(c, t):

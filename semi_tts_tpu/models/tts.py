@@ -75,3 +75,26 @@ def tts_apply(params, state, rng, txt_embed, spkr_embed, *, cfg: TTSConfig,
         lin = linear(params["postnet"]["linear"], h)
         new_state["postnet"] = cbhg_s
     return mel, lin, align, stop, new_state
+
+
+def tacotron2_with_codebook_init(key, cfg: TTSConfig, codebook_cfg, phn_attr=None):
+    """Standalone TTS + codebook bundle (`src/tts.py:61-74`,
+    ``Tacotron2withCodebook`` — unused by the live path upstream; provided so
+    the TTS can be trained/run without the ASR half)."""
+    from .embed import codebook_init
+
+    k1, k2 = jax.random.split(key)
+    tts_p, tts_s = tts_init(k1, cfg)
+    return {"codebook": codebook_init(k2, codebook_cfg, phn_attr), "tts": tts_p}, {"tts": tts_s}
+
+
+def tacotron2_with_codebook_apply(params, state, rng, txt, spkr_embed, *,
+                                  cfg: TTSConfig, codebook_cfg, phn_attr=None,
+                                  decode_steps, train, teacher=None, tf_rate=0.0):
+    from .embed import codebook_inference
+
+    txt_embed = codebook_inference(params["codebook"], codebook_cfg, txt, phn_attr)
+    mel, lin, align, stop, tts_s = tts_apply(params["tts"], state["tts"], rng, txt_embed,
+                                             spkr_embed, cfg=cfg, decode_steps=decode_steps,
+                                             train=train, teacher=teacher, tf_rate=tf_rate)
+    return mel, lin, align, stop, {"tts": tts_s}
