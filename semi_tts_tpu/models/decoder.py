@@ -54,6 +54,11 @@ class DecoderConfig:
     # attention bypass for audio-LM pretraining (`src/module.py:241-243`,
     # used by AudioLM in `src/lm.py:40-55`)
     pretrain: bool = False
+    # The reference never masks attention over padded memory (mask=None,
+    # `src/module.py:163`) — but its pad is the dynamic batch max, while our
+    # static trim-capacity pad can be much larger; this knob (off by default
+    # for parity) masks energies at positions >= memory_lengths.
+    mask_attention: bool = False
 
 
 def decoder_init(key, cfg: DecoderConfig):
@@ -96,6 +101,7 @@ def decoder_apply(
     teacher=None,
     teacher_rows=None,
     tf_rate=1.0,
+    memory_lengths=None,
 ):
     """Run the AR decoder for ``decode_steps`` macro-steps.
 
@@ -127,6 +133,9 @@ def decoder_apply(
     else:
         mem = memory
     processed_memory = process_memory(params["attn"], mem)
+    attn_mask = None
+    if cfg.mask_attention and memory_lengths is not None:
+        attn_mask = jnp.arange(L)[None, :] >= memory_lengths[:, None]
 
     if mode == "adain":
         ada_mean = linear(params["pseudo_mean"], spkr_embed)            # (B, Q)
@@ -173,7 +182,8 @@ def decoder_apply(
                 attn_hist = jnp.stack([c["attn_w"], c["attn_w_sum"]], axis=1)  # (B, 2, L)
             else:
                 attn_hist = c["attn_w"][:, None, :]
-            ctx, w = attention_step(params["attn"], q_h, mem, processed_memory, attn_hist)
+            ctx, w = attention_step(params["attn"], q_h, mem, processed_memory,
+                                    attn_hist, mask=attn_mask)
         w_sum = c["attn_w_sum"] + w
 
         if mode == "adain":

@@ -54,7 +54,7 @@ def tts_init(key, cfg: TTSConfig):
 
 def tts_apply(params, state, rng, txt_embed, spkr_embed, *, cfg: TTSConfig,
               decode_steps: int, train: bool, teacher=None, teacher_rows=None,
-              tf_rate=1.0):
+              tf_rate=1.0, txt_lengths=None):
     """txt_embed: (B, L, in_embed_dim) codebook latents.
 
     Returns (mel, linear, align, stop, new_state). ``linear`` is None when the
@@ -66,7 +66,8 @@ def tts_apply(params, state, rng, txt_embed, spkr_embed, *, cfg: TTSConfig,
     mel, align, stop = decoder_apply(params["decoder"], k_dec, memory, spkr_embed,
                                      cfg=cfg.decoder, decode_steps=decode_steps,
                                      train=train, teacher=teacher,
-                                     teacher_rows=teacher_rows, tf_rate=tf_rate)
+                                     teacher_rows=teacher_rows, tf_rate=tf_rate,
+                                     memory_lengths=txt_lengths)
     new_state = {"encoder": enc_s}
     lin = None
     if "postnet" in params:

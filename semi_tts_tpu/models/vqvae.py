@@ -102,6 +102,7 @@ def config_from_yaml(model_cfg: dict, *, n_mels: int, linear_dim, vocab_size: in
         location_kernel_size=d["location_kernel_size"], loc_aware=d["loc_aware"],
         use_summed_weights=d["use_summed_weights"], drop_dec_in=d["drop_dec_in"],
         spkr_embed_mode=d.get("spkr_embed_mode", "adaIN").lower(),
+        mask_attention=d.get("mask_attention", False),
     )
     tts_cfg = TTSConfig(
         n_mels=n_mels, linear_dim=linear_dim, in_embed_dim=latent_dim,
@@ -176,7 +177,7 @@ def embed_text(params, cfg: VQVAEConfig, phn_attr, txt):
 
 def text_to_speech(params, state, rng, cfg: VQVAEConfig, all_latent, all_sid, *,
                    decode_steps: int, train: bool, teacher=None,
-                   teacher_rows=None, tf_rate=1.0):
+                   teacher_rows=None, tf_rate=1.0, latent_lengths=None):
     """Decode a packed latent batch to (mel, linear, align, stop, new_state).
 
     ``all_sid``: (B_all,) int speaker ids -> embedding lookup (`src/vqvae.py:163`).
@@ -186,7 +187,7 @@ def text_to_speech(params, state, rng, cfg: VQVAEConfig, all_latent, all_sid, *,
                                              all_latent, spkr, cfg=cfg.tts,
                                              decode_steps=decode_steps, train=train,
                                              teacher=teacher, teacher_rows=teacher_rows,
-                                             tf_rate=tf_rate)
+                                             tf_rate=tf_rate, txt_lengths=latent_lengths)
     new_state = dict(state)
     new_state["tts"] = tts_s
     return mel, lin, align, stop, new_state
