@@ -19,8 +19,12 @@ TPU-first design notes:
     dynamic start indices and the Hann window is evaluated as a masked
     closed-form expression over the static ``n_fft`` grid. One compiled
     program covers every stretch rate — no shape-specializing recompiles.
-  * Overlap-add in the iSTFT is a scatter-add (``.at[].add``) over
-    statically-shaped index matrices instead of conv_transpose tricks.
+  * Overlap-add in the iSTFT is a set of shifted-slice adds (no scatter).
+  * Pallas note: frame extraction at arbitrary (hop-dependent) offsets was
+    prototyped as a Pallas kernel and is NOT expressible on current Mosaic —
+    vector loads need 128-lane-aligned starts and DMAs need tile-aligned
+    (1024 for 1-D) offsets. The scan-of-``dynamic_slice`` forms below are the
+    fast path XLA actually supports.
 """
 
 from __future__ import annotations
@@ -118,17 +122,36 @@ def _dft_matrices(n_fft: int):
     return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
 
 
-def magnitude_dft(frames_windowed: jnp.ndarray, n_fft: int,
-                  precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
-    """|rFFT| of pre-windowed frames ``(..., n_fft)`` via MXU matmuls.
+@lru_cache(maxsize=4)
+def _windowed_dft_matrices(n_fft: int, win_length: int):
+    """DFT matrices with a static centered Hann window folded in — saves a
+    full elementwise pass over the (huge) frames tensor on the clean path."""
+    C, S = _dft_matrices(n_fft)
+    w = np.zeros(n_fft)
+    left = (n_fft - win_length) // 2
+    k = np.arange(win_length, dtype=np.float64)
+    w[left : left + win_length] = 0.5 - 0.5 * np.cos(2.0 * np.pi * k / win_length)
+    return (w[:, None] * C).astype(np.float32), (w[:, None] * S).astype(np.float32)
+
+
+def magnitude_dft(frames: jnp.ndarray, n_fft: int,
+                  precision=jax.lax.Precision.HIGHEST,
+                  fold_window: int | None = None) -> jnp.ndarray:
+    """|rFFT| of frames ``(..., n_fft)`` via MXU matmuls.
+
+    ``fold_window``: a *static* win_length to fold into the DFT matrices
+    (frames must then be unwindowed); None means frames are pre-windowed.
 
     Precision: HIGHEST (fp32, ~0.001 dB max error vs float64 FFT) for the
     fidelity-critical clean path; HIGH (bf16x3, ~0.04 dB max error) is fine
     for the augmentation path whose output is noise-dominated by design.
     """
-    C, S = _dft_matrices(n_fft)
-    re = jnp.einsum("...n,nf->...f", frames_windowed, C, precision=precision)
-    im = jnp.einsum("...n,nf->...f", frames_windowed, S, precision=precision)
+    if fold_window is not None:
+        C, S = _windowed_dft_matrices(n_fft, fold_window)
+    else:
+        C, S = _dft_matrices(n_fft)
+    re = jnp.einsum("...n,nf->...f", frames, C, precision=precision)
+    im = jnp.einsum("...n,nf->...f", frames, S, precision=precision)
     return jnp.sqrt(re * re + im * im)
 
 
@@ -154,8 +177,11 @@ def stft_magnitude(
     pad = n_fft // 2
     xp = reflect_pad_ragged(x, lengths, pad)
     frames = frame_signal(xp, n_fft, hop, num_frames)
-    window = dynamic_hann_window(n_fft, win_length)
-    spec = magnitude_dft(frames * window[None, None, :], n_fft)
+    if isinstance(win_length, int):
+        spec = magnitude_dft(frames, n_fft, fold_window=win_length)
+    else:
+        window = dynamic_hann_window(n_fft, win_length)
+        spec = magnitude_dft(frames * window[None, None, :], n_fft)
     if frame_lengths is not None:
         t = jnp.arange(num_frames, dtype=jnp.int32)[None, :]
         mask = t < frame_lengths.astype(jnp.int32)[:, None]
