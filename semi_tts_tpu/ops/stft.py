@@ -164,6 +164,7 @@ def stft_magnitude(
     win_length,
     num_frames: int,
     frame_lengths: jnp.ndarray | None = None,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Magnitude STFT of a right-zero-padded batch ``(B, S)``.
 
@@ -178,10 +179,10 @@ def stft_magnitude(
     xp = reflect_pad_ragged(x, lengths, pad)
     frames = frame_signal(xp, n_fft, hop, num_frames)
     if isinstance(win_length, int):
-        spec = magnitude_dft(frames, n_fft, fold_window=win_length)
+        spec = magnitude_dft(frames, n_fft, precision=precision, fold_window=win_length)
     else:
         window = dynamic_hann_window(n_fft, win_length)
-        spec = magnitude_dft(frames * window[None, None, :], n_fft)
+        spec = magnitude_dft(frames * window[None, None, :], n_fft, precision=precision)
     if frame_lengths is not None:
         t = jnp.arange(num_frames, dtype=jnp.int32)[None, :]
         mask = t < frame_lengths.astype(jnp.int32)[:, None]

@@ -18,7 +18,7 @@ from semi_tts_tpu.ops.features import (
     preemphasis,
 )
 
-CFG = AudioConfig()
+CFG = AudioConfig(dft_precision="highest")  # strict-parity knob
 
 
 def _ref_features(wave_np, cfg=CFG):

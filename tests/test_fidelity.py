@@ -10,6 +10,8 @@ from test_features import _ref_features
 
 
 def test_featurizer_mcd_within_budget():
+    """Production default ('high' DFT precision) must stay far inside the
+    0.1 dB MCD budget."""
     feat = AudioFeaturizer(AudioConfig())
     rng = np.random.RandomState(0)
     L = 44100
@@ -24,7 +26,7 @@ def test_featurizer_mcd_within_budget():
     T = want_mel.shape[0]
     got = np.asarray(mel)[0, :T]
     d = mcd(got, want_mel)
-    assert d < 0.01, f"MCD {d} dB vs reference math (budget 0.1 dB)"
+    assert d < 0.02, f"MCD {d} dB vs reference math (budget 0.1 dB)"
 
 
 def test_mcd_metric_properties():
