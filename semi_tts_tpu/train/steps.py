@@ -113,9 +113,12 @@ class StepBuilder:
             params, state, rngs[0], cfg, self.phn_attr, aug_mel, paired_bs=B, train=True)
         asr_loss = self._paired_ctc(aug_mel, p_code, text)
         lat = V.embed_text(params, cfg, self.phn_attr, text)
+        # encoded length = non-pad tokens + the trailing <pad> (src/text.py:65)
+        lat_len = jnp.sum(text != 0, axis=-1) + 1
         mel_pred, lin_pred, align, stop, st = V.text_to_speech(
             params, st, rngs[1], cfg, lat, sid,
-            decode_steps=mel.shape[1] // self.r, train=True, teacher=mel, tf_rate=tf_rate)
+            decode_steps=mel.shape[1] // self.r, train=True, teacher=mel,
+            tf_rate=tf_rate, latent_lengths=lat_len)
         mel_loss = self.floss(mel_pred, mel)
         lin_loss = self.floss(lin_pred, linear) if lin_pred is not None else 0.0
         total = self.w.tts * (mel_loss + lin_loss)
@@ -183,10 +186,12 @@ class StepBuilder:
                 _, all_lat = padded_concat(pair_lat, u_latent)
                 _, all_teacher = padded_concat(mel, u_mel)
                 all_sid = jnp.concatenate([sid, u_sid])
+                all_lat_len = jnp.concatenate([jnp.sum(text != 0, -1) + 1, u_lens])
                 mel_pred, lin_pred, align, stop, st = V.text_to_speech(
                     p, st, k2, cfg, all_lat, all_sid,
                     decode_steps=all_teacher.shape[1] // r, train=True,
-                    teacher=all_teacher, tf_rate=tf_rate)
+                    teacher=all_teacher, tf_rate=tf_rate,
+                    latent_lengths=all_lat_len)
 
                 Tp, Tu = mel.shape[1], u_mel.shape[1]
                 mel_loss = self.floss(mel_pred[:Bp, :Tp], mel)
@@ -237,9 +242,12 @@ class StepBuilder:
                 teacher_rows = jnp.arange(Bp + Bu) < Bp
                 all_sid = jnp.concatenate([sid, u_sid])
                 decode_steps = max(mel.shape[1] // r, u_ts // r)
+                all_lat_len = jnp.concatenate([jnp.sum(text != 0, -1) + 1,
+                                               jnp.sum(u_text != 0, -1) + 1])
                 mel_pred, lin_pred, align, stop, st = V.text_to_speech(
                     p, state, k2, cfg, all_lat, all_sid, decode_steps=decode_steps,
-                    train=True, teacher=teacher, teacher_rows=teacher_rows, tf_rate=tf_rate)
+                    train=True, teacher=teacher, teacher_rows=teacher_rows,
+                    tf_rate=tf_rate, latent_lengths=all_lat_len)
 
                 Tp = mel.shape[1]
                 mel_loss = self.floss(mel_pred[:Bp, :Tp], mel)
@@ -303,7 +311,8 @@ class StepBuilder:
             decode_steps = (mel.shape[1] + margin_frames) // r
             mel_pred, lin_pred, align, stop, _ = V.text_to_speech(
                 params, state, k2, cfg, lat, sid, decode_steps=decode_steps,
-                train=False, teacher=None, tf_rate=0.0)
+                train=False, teacher=None, tf_rate=0.0,
+                latent_lengths=jnp.sum(text != 0, -1) + 1)
             Tp = mel.shape[1]
             tts_loss = self.floss(mel_pred[:, :Tp], mel) + self.floss(lin_pred[:, :Tp], linear)
             return dict(mel=mel, linear=linear, p_code=p_code, post_prob=post_prob,

@@ -125,3 +125,57 @@ def test_asr_only_trainer(tmp_path):
     solver.set_model()
     solver.exec()
     assert solver.step >= 2
+
+
+def test_asr_decode_solver(supervised_run):
+    root, cfg, paras, solver = supervised_run
+    ckpts = sorted(glob.glob(os.path.join(solver.ckpdir, "*.pth")))
+    from semi_tts_tpu.train.asr_decode import VqvaeDecoder
+
+    paras2 = make_paras(root, load=ckpts[-1])
+    dec = VqvaeDecoder(cfg, paras2, "test")
+    dec.load_data()
+    dec.set_model()
+    dec.exec()
+    hyp = os.path.join(dec.logdir + "_decode", "hyp.tsv")
+    assert os.path.exists(hyp)
+    lines = open(hyp).read().strip().split("\n")
+    assert lines[0] == "id\thyp" and len(lines) == 3  # header + 2 test utts
+
+
+def test_gen_gt_specgram_solver(supervised_run):
+    root, cfg, paras, solver = supervised_run
+    from semi_tts_tpu.train.gen_gt_specgram import SpecgramGenerator as GT
+
+    paras2 = make_paras(root, gen_wav=False)
+    gt = GT(cfg, paras2, "test")
+    gt.load_data()
+    gt.set_model()
+    gt.exec()
+    outdir = gt.logdir + "_gt"
+    mels = glob.glob(os.path.join(outdir, "*-mel.npy"))
+    assert len(mels) == 2
+    m = np.load(mels[0])
+    assert m.ndim == 2 and m.shape[1] == 20 and np.isfinite(m).all()
+    assert (m >= 0).all() and (m <= 1).all()  # normalized dB features
+
+
+def test_deterministic_seeding(tmp_path):
+    """Same seed -> identical params after 2 steps (determinism knobs,
+    main.py:9-11,44-47 of the reference)."""
+    from semi_tts_tpu.train.train_vqvae import VqvaeTrainer
+    import jax
+
+    outs = []
+    for run in range(2):
+        root = str(tmp_path / f"r{run}")
+        os.makedirs(root)
+        cfg = tiny_config(root, bone="seperate", max_step=2, valid_step=10**6)
+        paras = make_paras(root)
+        solver = VqvaeTrainer(cfg, paras, "train")
+        solver.load_data()
+        solver.set_model()
+        solver.exec()
+        outs.append([np.asarray(l) for l in jax.tree_util.tree_leaves(solver.params)])
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a, b)
