@@ -100,6 +100,12 @@ class BaseSolver:
             self.log.add_embedding(np.asarray(log_value[0]), metadata=log_value[1],
                                    tag=log_name, global_step=self.step)
         elif "wave" in log_name:
+            # tensorboardX audio needs the optional `soundfile` package;
+            # degrade to skipping audio logs when it's absent
+            try:
+                import soundfile  # noqa: F401
+            except ImportError:
+                return
             signal, sr = log_value
             self.log.add_audio(log_name, np.asarray(signal, np.float32)[None, :], self.step, sr)
         elif "text" in log_name or "hyp" in log_name:

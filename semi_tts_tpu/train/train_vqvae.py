@@ -225,6 +225,23 @@ class VqvaeTrainer(BaseSolver):
                 break
 
     # ------------------------------------------------ validation
+    def _log_waves(self, name, feats, *, is_mel, suffix=""):
+        """Batched Griffin-Lim of logged dev features -> TB audio
+        (`src/audio.py:399-409` feat_to_wave)."""
+        import jax.numpy as jnp
+
+        from ..ops.griffin_lim import specgram_to_waveform
+
+        acfg = self.featurizer.cfg
+        feats = jnp.asarray(np.stack(list(feats)))
+        amp = (self.featurizer.mel_to_linear_amp(feats) if is_mel
+               else self.featurizer.linear_to_amp(feats))
+        wavs = np.asarray(specgram_to_waveform(
+            amp, self._next_rng(), n_fft=acfg.n_fft, hop=acfg.hop_length,
+            win_length=acfg.win_length, preemphasis_coeff=acfg.preemphasis_coeff))
+        for i, w in enumerate(wavs):
+            self.write_log(f"{name}{i}{suffix}", (w, acfg.sample_rate))
+
     def validate(self):
         dev_tts_loss, dev_per, dev_post_per = [], [], []
         mel_p = linear_p = align_p = hyp = sample_txt = None
@@ -282,6 +299,19 @@ class VqvaeTrainer(BaseSolver):
                 self.write_log(f"mel_spec{i}", feat_to_fig(m_p))
                 self.write_log(f"linear_spec{i}", feat_to_fig(l_p))
                 self.write_log(f"dv_align{i}", feat_to_fig(a_p))
+            # Griffin-Lim audio of dev predictions / (at step 1) ground truth
+            # (`bin/train_vqvae.py:411-421`); skipped under --store-best-per
+            # like the reference
+            if self.log is not None and not getattr(self.paras, "store_best_per", False):
+                self._log_waves("mel_wave", mel_p, is_mel=True)
+                self._log_waves("linear_wave", linear_p, is_mel=False)
+                if self.step == 1:
+                    for i, gt_txt in enumerate(sample_txt):
+                        self.write_log(f"truth_text{i}", self.tokenizer.decode(gt_txt.tolist()))
+                        self.write_log(f"mel_spec{i}_gt", feat_to_fig(sample_mel[i]))
+                        self.write_log(f"linear_spec{i}_gt", feat_to_fig(sample_linear[i]))
+                    self._log_waves("mel_wave", sample_mel, is_mel=True, suffix="_gt")
+                    self._log_waves("linear_wave", sample_linear, is_mel=False, suffix="_gt")
         self.write_log("speech_loss", {"dev": dev_tts_loss})
         self.write_log("per", {"dev": dev_per, "dev_post": dev_post_per})
         # codebook embedding projector (`bin/train_vqvae.py:425`)

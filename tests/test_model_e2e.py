@@ -159,3 +159,23 @@ def test_grads_flow_end_to_end(model):
     assert float(jnp.abs(g["codebook"]["learnable_table"]).max()) > 0
     assert float(jnp.abs(g["tts"]["decoder"]["proj"]["w"]).max()) > 0
     assert float(jnp.abs(g["spkr_embed"]).max()) > 0
+
+
+def test_speaker_modes_concat_and_add():
+    """The 'concat' and 'add' speaker-injection modes (src/module.py:116-120,
+    246-250) produce valid outputs and actually condition on the speaker."""
+    for mode in ["concat", "add"]:
+        cfg = dataclasses.replace(DEC, spkr_embed_mode=mode)
+        from semi_tts_tpu.models.decoder import decoder_apply, decoder_init
+
+        p = decoder_init(jax.random.PRNGKey(7), cfg)
+        B, L = 2, 5
+        mem = jnp.asarray(np.random.RandomState(8).randn(B, L, 16).astype(np.float32))
+        spk1 = jnp.asarray(np.random.RandomState(9).randn(B, 6).astype(np.float32))
+        spk2 = spk1 + 1.0
+        mel1, _, _ = decoder_apply(p, jax.random.PRNGKey(10), mem, spk1, cfg=cfg,
+                                   decode_steps=3, train=False)
+        mel2, _, _ = decoder_apply(p, jax.random.PRNGKey(10), mem, spk2, cfg=cfg,
+                                   decode_steps=3, train=False)
+        assert np.isfinite(np.asarray(mel1)).all(), mode
+        assert not np.allclose(np.asarray(mel1), np.asarray(mel2)), mode
