@@ -237,3 +237,26 @@ def sinusoid_encoding_table(n_position, d_hid, padding_idx=None):
     if padding_idx is not None:
         table[padding_idx] = 0.0
     return jnp.asarray(table, jnp.float32)
+
+
+# ---------------- espnet-style init helpers (`src/util.py:50-78`) ----------------
+# (defined-but-never-called upstream; provided for parity — apply to a param
+# pytree with `jax.tree_util.tree_map_with_path` or per-module)
+
+def espnet_init_leaf(key, shape):
+    """N(0, 1/sqrt(fan_in)) for linear/conv weights, zeros for biases,
+    N(0,1) for embeddings handled by the caller (`src/util.py:50-73`)."""
+    import numpy as _np
+
+    if len(shape) == 1:
+        return jnp.zeros(shape)
+    n = shape[1]
+    for k in shape[2:]:
+        n *= k
+    return jax.random.normal(key, shape) / _np.sqrt(n)
+
+
+def init_gate(bias):
+    """Set the LSTM forget-gate bias chunk to 1 (`src/util.py:74-78`)."""
+    n = bias.shape[0]
+    return bias.at[n // 4 : n // 2].set(1.0)

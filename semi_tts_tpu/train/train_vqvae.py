@@ -141,6 +141,10 @@ class VqvaeTrainer(BaseSolver):
         tok_usage, gt_usage = [], []
         unsup_align = None
         mets = {}
+        # per-step device scalars are buffered and fetched in ONE transfer at
+        # the progress step — a per-step bool() sync costs 10-30 ms through
+        # the TPU tunnel and would stall the pipeline
+        pending = []  # (ok_flag_dev, unpair_pred_dev, unpair_text_np, ctc_nan_dev)
 
         while self.step < self.max_step:
             use_unpair_text = (self.unpair_text_weight > 0
@@ -160,18 +164,14 @@ class VqvaeTrainer(BaseSolver):
                 ub = next(self.unpair_iter)
                 self.params, self.state, self.opt_state, mets = self._speech_first_step(
                     *args, ub.waves, ub.wave_len, ub.text, ub.sid)
-                if bool(mets["unpair_ok"]):
-                    cnter["unp_sph"] += 1
-                    tok_usage += np.asarray(mets["unpair_pred"]).flatten().tolist()
-                    gt_usage += np.asarray(ub.text).flatten().tolist()
-                    unsup_align = mets["unpair_align"]
+                pending.append((mets["unpair_ok"], mets["unpair_pred"], ub.text, None))
+                unsup_align = mets["unpair_align"]
             elif (not speech_first) and use_unpair_text:
                 ub = next(self.unpair_iter)
                 cnter["unp_txt"] += 1
                 self.params, self.state, self.opt_state, mets = self._text_first_step(
                     *args, ub.waves, ub.wave_len, ub.text, ub.sid)
-                if bool(mets.get("ctc_nan", False)):
-                    cnter["ctc_nan"] += 1
+                pending.append((None, None, None, mets["ctc_nan"]))
             else:
                 self.params, self.state, self.opt_state, mets = self._paired_step(*args)
 
@@ -180,6 +180,16 @@ class VqvaeTrainer(BaseSolver):
             self.timer.cnt("bw")
 
             if self.step == 1 or self.step % self._PROGRESS_STEP == 0:
+                # drain buffered per-step flags in one transfer
+                fetched = jax.device_get([(o, p, n) for o, p, _, n in pending])
+                for (ok, pred, nan), (_, _, utext, _) in zip(fetched, pending):
+                    if ok is not None and bool(ok):
+                        cnter["unp_sph"] += 1
+                        tok_usage += np.asarray(pred).flatten().tolist()
+                        gt_usage += np.asarray(utext).flatten().tolist()
+                    if nan is not None and bool(nan):
+                        cnter["ctc_nan"] += 1
+                pending = []
                 if not np.isfinite(float(mets["total_loss"])):
                     cnter["ctc_nan"] += 1  # non-finite step (update was skipped)
                 total = float(mets["total_loss"])

@@ -98,3 +98,16 @@ def test_loader_prefetch_error_propagates(tmp_path):
     loader = TTSLoader(ds, tok, shuffle=False, drop_last=True, seed=0, sample_rate=16000)
     with pytest.raises(AssertionError, match="Sample rate"):
         list(loader)
+
+
+def test_loader_multihost_sharding(tmp_path):
+    corpus = make_synthetic_corpus(str(tmp_path))
+    tok = load_text_encoder("phoneme", corpus["vocab_file"], corpus["map_table"])
+    ds = VCTKDataset(corpus["path"], corpus["partition_table"], "paired",
+                     False, 2, corpus["spkr_map"])
+    all_b = [b.fids for b in TTSLoader(ds, tok, shuffle=False, drop_last=True, seed=0)]
+    s0 = [b.fids for b in TTSLoader(ds, tok, shuffle=False, drop_last=True, seed=0,
+                                    shard_id=0, num_shards=2)]
+    s1 = [b.fids for b in TTSLoader(ds, tok, shuffle=False, drop_last=True, seed=0,
+                                    shard_id=1, num_shards=2)]
+    assert s0 + s1 == all_b  # interleaved, disjoint, complete
