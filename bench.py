@@ -85,13 +85,17 @@ def _bench_cpu_reference(waves, lengths, n_files=8):
         db = 20 * torch.log10(torch.clamp(m, min=1e-5)) - 20
         return torch.clamp((db + 100) / 100, 0, 1)
 
-    frames = 0
-    t0 = time.perf_counter()
-    for i in range(n_files):
-        x = torch.from_numpy(waves[i % len(waves), : lengths[i % len(waves)]].copy())
-        frames += clean(x).shape[1] + aug(x).shape[1]
-    dt = time.perf_counter() - t0
-    return frames / dt
+    # best-of-3: the single host CPU core is sometimes contended; taking the
+    # best CPU throughput keeps the vs_baseline ratio conservative
+    best = 0.0
+    for _ in range(3):
+        frames = 0
+        t0 = time.perf_counter()
+        for i in range(n_files):
+            x = torch.from_numpy(waves[i % len(waves), : lengths[i % len(waves)]].copy())
+            frames += clean(x).shape[1] + aug(x).shape[1]
+        best = max(best, frames / (time.perf_counter() - t0))
+    return best
 
 
 def _bench_decoder(iters=3):
