@@ -38,7 +38,12 @@ paras = parser.parse_args()
 setattr(paras, "gpu", not paras.cpu)
 setattr(paras, "pin_memory", not paras.no_pin)  # (reference inverted this — known bug not copied)
 setattr(paras, "verbose", not paras.no_msg)
-config = yaml.load(open(paras.config, "r"), Loader=yaml.FullLoader)
+if not paras.config:
+    parser.error("--config is required (path to an experiment YAML, e.g. config/supervised.yaml)")
+try:
+    config = yaml.load(open(paras.config, "r"), Loader=yaml.FullLoader)
+except FileNotFoundError:
+    parser.error(f"config file not found: {paras.config}")
 
 random.seed(paras.seed)
 np.random.seed(paras.seed)

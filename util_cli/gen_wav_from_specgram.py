@@ -30,6 +30,9 @@ SAMPLE_LIST = [  # (`util/gen_wav_from_specgram.py:13-34`)
 
 def run(paras):
     import jax
+
+    if paras.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from semi_tts_tpu.data import wavio
@@ -80,4 +83,5 @@ if __name__ == "__main__":
     parser.add_argument("--output-dir", type=str, required=True, help="Path to output wave.")
     parser.add_argument("--sample", action="store_true", help="Only sample some wavs.")
     parser.add_argument("--batch", type=int, default=16, help="Griffin-Lim batch size.")
+    parser.add_argument("--cpu", action="store_true", help="Force CPU execution.")
     run(parser.parse_args())
