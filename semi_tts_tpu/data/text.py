@@ -68,7 +68,13 @@ class PhoneTextEncoder:
         return cls(vocab_list)
 
     def set_map_table(self, table_path):
-        self.map_table = pd.read_csv(table_path, index_col=0, sep=SEP)
+        try:
+            self.map_table = pd.read_csv(table_path, index_col=0, sep=SEP)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"phoneme map table not found: {table_path}. It is a generated "
+                "artifact (file-id -> phoneme sequence) — regenerate it with "
+                "util_cli/g2p_lj.py or util_cli/g2p_vctk.py (see data/README.md).")
 
     def file_to_seq(self, file_path):
         file_id = basename(str(file_path)).split(".")[0]
