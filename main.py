@@ -15,25 +15,38 @@ import random
 import numpy as np
 import yaml
 
-parser = argparse.ArgumentParser(description="Training E2E asr.")
-parser.add_argument("--config", type=str, help="Path to experiment config.")
-parser.add_argument("--name", default=None, type=str, help="Name for logging.")
-parser.add_argument("--logdir", default="log/", type=str, help="Logging path.")
-parser.add_argument("--ckpdir", default="ckpt/", type=str, help="Checkpoint/Result path.")
-parser.add_argument("--load", default=None, type=str, help="Load pre-trained model")
-parser.add_argument("--seed", default=0, type=int, help="Random seed for reproducable results.")
-parser.add_argument("--njobs", default=5, type=int, help="Number of threads for decoding.")
-parser.add_argument("--cpu", action="store_true", help="Disable TPU training.")
-parser.add_argument("--debug", action="store_true", help="Debug use.")
-parser.add_argument("--no-pin", action="store_true", help="Disable pin-memory for dataloader")
-parser.add_argument("--asr-decode", action="store_true", help="ASR greedy decode.")
-parser.add_argument("--gen-specgram", action="store_true", help="Generating mel/linear spectrogram.")
-parser.add_argument("--gen-gt-specgram", action="store_true", help="Generating ground-truth mel/linear spectrogram.")
-parser.add_argument("--no-msg", action="store_true", help="Hide all messages.")
-parser.add_argument("--actual-len", action="store_true", help="Using actual len for CTC loss.")
-parser.add_argument("--store-best-per", action="store_true", help="Only store the model with best PER.")
-parser.add_argument("--asr-only", action="store_true", help="Only train supervised ASR.")
-parser.add_argument("--gen-wav", action="store_true", help="Generate waveform using Griffin-Lim.")
+parser = argparse.ArgumentParser(
+    description="Semi-supervised TTS/ASR training and inference on TPU.")
+parser.add_argument("--config", type=str, help="Experiment YAML to run.")
+parser.add_argument("--name", default=None, type=str,
+                    help="Experiment name (defaults to <config>-sd<seed>).")
+parser.add_argument("--logdir", default="log/", type=str, help="Directory for TensorBoard logs.")
+parser.add_argument("--ckpdir", default="ckpt/", type=str,
+                    help="Directory for checkpoints and generated outputs.")
+parser.add_argument("--load", default=None, type=str, help="Checkpoint to restore and resume from.")
+parser.add_argument("--seed", default=0, type=int, help="Global RNG seed.")
+parser.add_argument("--njobs", default=5, type=int, help="Worker threads for data loading.")
+parser.add_argument("--cpu", action="store_true", help="Run on CPU instead of the TPU.")
+parser.add_argument("--debug", action="store_true", help="Enable debug-mode behavior.")
+parser.add_argument("--no-pin", action="store_true",
+                    help="Skip pinned host memory in the data loader.")
+parser.add_argument("--asr-decode", action="store_true",
+                    help="Greedy-decode the ASR branch on the test split.")
+parser.add_argument("--gen-specgram", action="store_true",
+                    help="Run TTS inference and dump mel/linear spectrograms.")
+parser.add_argument("--gen-gt-specgram", action="store_true",
+                    help="Dump ground-truth features for the test split.")
+parser.add_argument("--no-msg", action="store_true", help="Silence all stdout messages.")
+parser.add_argument("--actual-len", action="store_true",
+                    help="Use true (unpadded) frame counts as CTC input lengths.")
+parser.add_argument("--store-best-per", action="store_true",
+                    help="Checkpoint only when dev PER improves.")
+parser.add_argument("--asr-only", action="store_true",
+                    help="Train just the supervised ASR branch.")
+parser.add_argument("--gen-wav", action="store_true",
+                    help="Also vocode generated spectrograms with Griffin-Lim.")
+parser.add_argument("--profile", action="store_true",
+                    help="Capture a jax.profiler trace of a window of train steps into logdir.")
 paras = parser.parse_args()
 setattr(paras, "gpu", not paras.cpu)
 setattr(paras, "pin_memory", not paras.no_pin)  # (reference inverted this — known bug not copied)

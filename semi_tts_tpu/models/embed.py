@@ -64,6 +64,15 @@ def neg_batch_l2(x, table):
 def codebook_init(key, cfg: CodebookConfig, phn_attr=None):
     """phn_attr: (vocab_size, attr_dim) frozen phonological attributes
     (rows 0..2 zeros for the specials; `src/util.py:240-245`)."""
+    if cfg.commit_weight != 0 or cfg.vq_weight != 0:
+        # commit/VQ losses are accepted in the YAML schema but not implemented
+        # (the reference asserts the same, `src/embed.py:65-66`) — fail loudly
+        # rather than silently training without them
+        raise ValueError(
+            "codebook commit_weight/vq_weight must be 0: the commit/VQ losses "
+            "are not implemented (straight-through + CTC/recon losses train "
+            f"the codebook), got commit_weight={cfg.commit_weight}, "
+            f"vq_weight={cfg.vq_weight}")
     ks = jax.random.split(key, 4)
     p = {}
     if cfg.temp < 0:

@@ -24,15 +24,16 @@ class VqvaeDecoder(_Base):
         rows, pers = [], []
         for batch in loader:
             self.rng, k = jax.random.split(self.rng)
-            mel, linear, _ = self.builder._features(k, batch.waves, batch.wave_len,
-                                                    need_aug=False)
+            mel, linear, _, flen, _ = self.builder._features(k, batch.waves, batch.wave_len,
+                                                             need_aug=False)
             p_code, _, post_prob, _ = V.speech_to_text(
                 self.params, self.state, k, self.model_cfg, self.builder.phn_attr,
                 mel, paired_bs=mel.shape[0], train=False)
             pred = np.asarray(p_code).argmax(-1)
-            pers.append(cal_per(pred, np.asarray(batch.text)))
+            enc_len = np.asarray(self.builder._enc_len(flen, p_code.shape[1]))
+            pers.append(cal_per(pred, np.asarray(batch.text), pred_lens=enc_len))
             for i, fid in enumerate(batch.fids):
-                p = pred[i].tolist()
+                p = pred[i][: int(enc_len[i])].tolist()
                 p = [v for j, v in enumerate(p)
                      if (j == 0 or v != p[j - 1]) and v not in IGNORE_INDICES]
                 rows.append((fid, self.tokenizer.decode(p)))

@@ -48,6 +48,14 @@ class Weights(NamedTuple):
     unpair_speech_start: int = 0
 
 
+def round_up(x, r):
+    """Round ``x`` up to the next multiple of ``r`` (works for python ints and
+    traced int arrays). The reference's ``x += x % r`` idiom
+    (`src/vqvae.py:156-159`) is NOT a round-up when ``r ∤ 2x`` — see
+    docs/PARITY.md adaptations."""
+    return x + (-x) % r
+
+
 def _pad_frames(x, r):
     """Pad time to a multiple of r with at least one extra frame
     (`bin/train_vqvae.py:43-46`)."""
@@ -74,13 +82,22 @@ class StepBuilder:
     # ---------------- shared pieces ----------------
 
     def _features(self, rng, waves, wave_len, *, need_aug=True):
-        mel, linear, _ = self.feat.featurize(waves, wave_len)
+        mel, linear, flen = self.feat.featurize(waves, wave_len)
         mel = _pad_frames(mel, self.r)
         linear = _pad_frames(linear, self.r)
         if not need_aug:
-            return mel, linear, None
-        aug, _ = self.feat.featurize_augmented(waves, wave_len, rng)
-        return mel, linear, aug
+            return mel, linear, None, flen, None
+        aug, aug_flen = self.feat.featurize_augmented(waves, wave_len, rng)
+        return mel, linear, aug, flen, aug_flen
+
+    def _enc_len(self, flen, t_enc):
+        """True (non-pad) ASR-encoder output length for per-item frame counts
+        ``flen`` — used to trim bucket-pad junk out of PER scoring. The
+        reference pads only to the batch max so it scores pad frames too
+        (`src/util.py:169-181`); our static buckets pad much further, so the
+        trim keeps dev PER comparable."""
+        up = -(-flen.astype(jnp.int32) // self.cfg.time_reduce_factor)  # ceil
+        return jnp.minimum(up, t_enc)
 
     def _ctc_lengths(self, model_input, p_code):
         """Full-length input lens by default; --actual-len uses non-pad frames
@@ -143,11 +160,12 @@ class StepBuilder:
         def step(params, state, opt_state, rng, step_no, tf_rate, waves, wave_len, text, sid):
             rng = jax.random.fold_in(rng, step_no)  # in-graph: host RNG splits are expensive
             k_aug, k1, k2 = jax.random.split(rng, 3)
-            mel, linear, aug = self._features(k_aug, waves, wave_len)
+            mel, linear, aug, _, aug_flen = self._features(k_aug, waves, wave_len)
 
             def loss_fn(p):
                 total, st, mets = self._losses_paired(p, state, (k1, k2), mel, linear,
                                                       aug, text, sid, tf_rate)
+                mets["pair_pred_len"] = self._enc_len(aug_flen, mets["pair_pred"].shape[1])
                 return total, (st, mets)
 
             (total, (st, mets)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -166,8 +184,8 @@ class StepBuilder:
             cfg, r = self.cfg, self.r
             rng = jax.random.fold_in(rng, step_no)
             k_aug, k_uaug, k1, k2 = jax.random.split(rng, 4)
-            mel, linear, aug = self._features(k_aug, waves, wave_len)
-            u_mel, u_linear, u_aug = self._features(k_uaug, u_waves, u_wave_len)
+            mel, linear, aug, _, aug_flen = self._features(k_aug, waves, wave_len)
+            u_mel, u_linear, u_aug, _, u_aug_flen = self._features(k_uaug, u_waves, u_wave_len)
             Bp, Bu = mel.shape[0], u_mel.shape[0]
 
             def loss_fn(p):
@@ -208,7 +226,9 @@ class StepBuilder:
                             unpair_speech_loss=u_sph_loss, unpair_ok=ok,
                             pair_align=align[:Bp], unpair_align=align[Bp:],
                             pair_pred=jnp.argmax(pair_prob, -1),
-                            unpair_pred=jnp.argmax(p_code[Bp:], -1))
+                            pair_pred_len=self._enc_len(aug_flen, pair_prob.shape[1]),
+                            unpair_pred=jnp.argmax(p_code[Bp:], -1),
+                            unpair_pred_len=self._enc_len(u_aug_flen, p_code.shape[1]))
                 return total, (st, mets)
 
             (total, (st, mets)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -227,12 +247,14 @@ class StepBuilder:
             cfg, r = self.cfg, self.r
             rng = jax.random.fold_in(rng, step_no)
             k_aug, k1, k2 = jax.random.split(rng, 3)
-            mel, linear, aug = self._features(k_aug, waves, wave_len)
+            mel, linear, aug, _, aug_flen = self._features(k_aug, waves, wave_len)
             Bp, Bu = mel.shape[0], u_text.shape[0]
 
-            # fake-mel length: FRAME_PHN_RATIO * |unpair text| (`src/vqvae.py:156-159`)
-            u_ts = int(V.FRAME_PHN_RATIO * u_text.shape[1])
-            u_ts += u_ts % r
+            # fake-mel length: FRAME_PHN_RATIO * |unpair text| rounded UP to a
+            # multiple of r (`src/vqvae.py:156-159`; the reference's
+            # ``x += x % r`` only rounds correctly when r | 2x — a genuine
+            # round-up is used here, flagged in docs/PARITY.md)
+            u_ts = round_up(int(V.FRAME_PHN_RATIO * u_text.shape[1]), r)
 
             def loss_fn(p):
                 pair_lat = V.embed_text(p, cfg, self.phn_attr, text)
@@ -267,8 +289,7 @@ class StepBuilder:
 
                 # unpaired-text CTC (`bin/train_vqvae.py:236-248`)
                 if self.actual_len:
-                    ulen = jnp.sum(u_text != 0, -1) * int(V.FRAME_PHN_RATIO)
-                    ulen = ulen + ulen % r
+                    ulen = round_up(jnp.sum(u_text != 0, -1) * int(V.FRAME_PHN_RATIO), r)
                     ctc_len = 1 + ulen // cfg.time_reduce_factor
                 else:
                     ctc_len = jnp.full((Bu,), u_prob.shape[1], jnp.int32)
@@ -282,7 +303,8 @@ class StepBuilder:
                 mets = dict(asr_loss=asr_loss, mel_loss=mel_loss, linear_loss=lin_loss,
                             tts_loss=mel_loss + lin_loss, unpair_text_loss=u_txt_loss,
                             ctc_nan=u_txt_nan, pair_align=align[:Bp],
-                            pair_pred=jnp.argmax(pair_prob, -1))
+                            pair_pred=jnp.argmax(pair_prob, -1),
+                            pair_pred_len=self._enc_len(aug_flen, pair_prob.shape[1]))
                 return total, (st, mets)
 
             (total, (st, mets)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -303,7 +325,7 @@ class StepBuilder:
             cfg, r = self.cfg, self.r
             rng = jax.random.fold_in(rng, ctr)
             k1, k2 = jax.random.split(rng)
-            mel, linear, _ = self._features(k1, waves, wave_len, need_aug=False)
+            mel, linear, _, flen, _ = self._features(k1, waves, wave_len, need_aug=False)
             B = mel.shape[0]
             p_code, _, post_prob, _ = V.speech_to_text(
                 params, state, k1, cfg, self.phn_attr, mel, paired_bs=B, train=False)
@@ -316,6 +338,7 @@ class StepBuilder:
             Tp = mel.shape[1]
             tts_loss = self.floss(mel_pred[:, :Tp], mel) + self.floss(lin_pred[:, :Tp], linear)
             return dict(mel=mel, linear=linear, p_code=p_code, post_prob=post_prob,
+                        enc_len=self._enc_len(flen, p_code.shape[1]),
                         mel_pred=mel_pred, lin_pred=lin_pred, align=align,
                         tts_loss=tts_loss)
 

@@ -26,7 +26,7 @@ class AsrTrainer(VqvaeTrainer):
         def asr_step(params, state, opt_state, rng, step_no, waves, wave_len, text, sid):
             rng = jax.random.fold_in(rng, step_no)
             k_aug, k1 = jax.random.split(rng)
-            mel, linear, aug = builder._features(k_aug, waves, wave_len)
+            mel, linear, aug, _, aug_flen = builder._features(k_aug, waves, wave_len)
 
             def loss_fn(p):
                 B = aug.shape[0]
@@ -39,7 +39,8 @@ class AsrTrainer(VqvaeTrainer):
                     total = (1 - w) * asr_loss + w * post
                 else:
                     total = asr_loss
-                return total, (st, dict(asr_loss=asr_loss, pair_pred=jnp.argmax(p_code, -1)))
+                return total, (st, dict(asr_loss=asr_loss, pair_pred=jnp.argmax(p_code, -1),
+                                        pair_pred_len=builder._enc_len(aug_flen, p_code.shape[1])))
 
             (total, (st, mets)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             gnorm = optax.global_norm(grads)
@@ -76,7 +77,8 @@ class AsrTrainer(VqvaeTrainer):
             out = self._eval_step(self.params, self.state, self.rng,
                                   self.step * 100003 + i,
                                   batch.waves, batch.wave_len, batch.text, batch.sid)
-            pers.append(cal_per(np.asarray(out["p_code"]), np.asarray(batch.text)))
+            pers.append(cal_per(np.asarray(out["p_code"]), np.asarray(batch.text),
+                                pred_lens=np.asarray(out["enc_len"])))
         dev_per = sum(pers) / max(len(pers), 1)
         if dev_per < self.best_per:
             self.best_per = dev_per

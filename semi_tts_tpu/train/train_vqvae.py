@@ -137,6 +137,16 @@ class VqvaeTrainer(BaseSolver):
     def exec(self):
         self.verbose(["Total training steps {}.".format(human_format(self.max_step))])
         self.timer.set()
+        # --profile: capture a jax.profiler trace of a post-warmup window of
+        # steps (`utils/timer.profile_trace`) — the TPU-native replacement for
+        # the reference's wall-clock-only timer (`src/util.py:35-43`)
+        import contextlib
+
+        from ..utils.timer import profile_trace
+
+        prof = contextlib.ExitStack()
+        prof_start = min(40, max(1, self.max_step // 2))
+        prof_end = min(self.max_step, prof_start + 20)
         cnter = {"ctc_nan": 0, "unp_sph": 0, "unp_txt": 0}
         tok_usage, gt_usage = [], []
         unsup_align = None
@@ -147,6 +157,15 @@ class VqvaeTrainer(BaseSolver):
         pending = []  # (ok_flag_dev, unpair_pred_dev, unpair_text_np, ctc_nan_dev)
 
         while self.step < self.max_step:
+            if getattr(self.paras, "profile", False):
+                if self.step == prof_start:
+                    try:
+                        prof.enter_context(profile_trace(self.logdir))
+                        self.verbose(f"Profiling steps {prof_start}..{prof_end} -> {self.logdir}")
+                    except Exception as e:  # profiling must never kill training
+                        self.verbose(f"profiler unavailable: {e}")
+                elif self.step == prof_end:
+                    prof.close()
             use_unpair_text = (self.unpair_text_weight > 0
                                and self.step > self.unpair_text_start_step)
             use_unpair_speech = (self.unpair_speech_weight > 0
@@ -213,9 +232,11 @@ class VqvaeTrainer(BaseSolver):
                     sup_trans = np.asarray(batch.text)
                     unp_per = None
                     if tok_usage:
-                        unp_per = cal_per(np.asarray(mets.get("unpair_pred")), np.asarray(ub.text)) \
+                        unp_per = cal_per(np.asarray(mets.get("unpair_pred")), np.asarray(ub.text),
+                                          pred_lens=np.asarray(mets["unpair_pred_len"])) \
                             if "unpair_pred" in mets else None
-                    self.write_log("per", {"pair": cal_per(sup_pred, sup_trans),
+                    self.write_log("per", {"pair": cal_per(sup_pred, sup_trans,
+                                                           pred_lens=np.asarray(mets["pair_pred_len"])),
                                            "unpair": unp_per})
                     bar = data_to_bar(tok_usage, gt_usage, self.vocab_size,
                                       self.tokenizer._vocab_list)
@@ -233,6 +254,7 @@ class VqvaeTrainer(BaseSolver):
             self.timer.set()
             if self.step > self.max_step:
                 break
+        prof.close()  # still-open trace (max_step < profile window end)
 
     # ------------------------------------------------ validation
     def _log_waves(self, name, feats, *, is_mel, suffix=""):
@@ -261,9 +283,12 @@ class VqvaeTrainer(BaseSolver):
             out = self._eval_step(self.params, self.state, self.rng,
                                   self.step * 100003 + i,
                                   batch.waves, batch.wave_len, batch.text, batch.sid)
-            dev_per.append(cal_per(np.asarray(out["p_code"]), np.asarray(batch.text)))
+            enc_len = np.asarray(out["enc_len"])
+            dev_per.append(cal_per(np.asarray(out["p_code"]), np.asarray(batch.text),
+                                   pred_lens=enc_len))
             if out["post_prob"] is not None:
-                dev_post_per.append(cal_per(np.asarray(out["post_prob"]), np.asarray(batch.text)))
+                dev_post_per.append(cal_per(np.asarray(out["post_prob"]), np.asarray(batch.text),
+                                            pred_lens=enc_len))
             dev_tts_loss.append(float(out["tts_loss"]))
             if i == n_batches // 2:
                 n = LISTEN_N_EXAMPLES

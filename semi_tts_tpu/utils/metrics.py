@@ -43,8 +43,13 @@ def edit_distance(a, b) -> int:
     return int(prev[-1])
 
 
-def cal_per(pred, truth, ignore=IGNORE_INDICES) -> float:
-    """Phone error rate of a batch. ``pred``: (B, T) ids or (B, T, V) probs."""
+def cal_per(pred, truth, ignore=IGNORE_INDICES, pred_lens=None) -> float:
+    """Phone error rate of a batch. ``pred``: (B, T) ids or (B, T, V) probs.
+
+    ``pred_lens``: optional per-item true prediction lengths — frames beyond
+    them are bucket pad, not model output, and are excluded from scoring (the
+    reference scores its much smaller batch-max pads, `src/util.py:169-181`).
+    """
     if pred is None:
         return float("nan")
     pred = np.asarray(pred)
@@ -52,7 +57,9 @@ def cal_per(pred, truth, ignore=IGNORE_INDICES) -> float:
     if pred.ndim >= 3:
         pred = pred.argmax(-1)
     ers = []
-    for p, t in zip(pred, truth):
+    for bi, (p, t) in enumerate(zip(pred, truth)):
+        if pred_lens is not None:
+            p = p[: int(pred_lens[bi])]
         p = p.tolist()
         p = [v for i, v in enumerate(p) if (i == 0 or v != p[i - 1]) and v not in ignore]
         t = [v for v in t.tolist() if v not in ignore]
