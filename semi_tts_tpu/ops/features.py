@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mel import dct_matrix, mel_filterbank, mel_pinv
-from .stft import dynamic_hann_window, magnitude_dft, reflect_pad_ragged, stft_magnitude
+from .stft import (dynamic_hann_window, magnitude_dft, reflect_pad_ragged,
+                   stft_magnitude, window_support)
 
 GFL_ITER = 30  # Griffin-Lim iterations (`src/audio.py:16`)
 MIN_LEVEL_DB = -100  # (`src/audio.py:17`)
@@ -41,9 +42,11 @@ MFCC_HOP_LEN_MS = 10  # (`src/audio.py:19`)
 MFCC_WIN_LEN_MS = 25  # (`src/audio.py:20`)
 N_MFCC_NO_DELTA = 13  # (`src/audio.py:21`)
 
-# mel projection always runs fp32 (cheap: 80-dim output); the wide DFT
-# matmuls use AudioConfig.dft_precision
-_MEL_PRECISION = jax.lax.Precision.HIGHEST
+# mel projection precision: bf16x3 — the (F -> 80) projection's error is
+# ~1e-6 relative (operand-split matmul of an exactly-representable constant),
+# far below the DFT stage's own HIGH-precision error, and ~2x faster than
+# fp32 on the MXU. The wide DFT matmuls use AudioConfig.dft_precision.
+_MEL_PRECISION = jax.lax.Precision.HIGH
 
 
 def amp_to_db(x, minimum: float = 1e-5):
@@ -119,6 +122,14 @@ class AudioConfig:
         """Smallest possible augmented hop (most frames), from min stretch rate."""
         sr_min = int(self.sample_rate * min(self.time_stretch_range))
         return int(self.frame_shift_ms / 1000 * sr_min)
+
+    @property
+    def max_stretch_win(self) -> int:
+        """Largest possible augmented win_length (same int truncation as the
+        per-rate draw, `src/audio.py:366-383`). All smaller windows' nonzero
+        supports nest inside this one's when centered in n_fft."""
+        sr_max = int(self.sample_rate * max(self.time_stretch_range))
+        return int(self.frame_length_ms / 1000 * sr_max)
 
 
 class AudioFeaturizer:
@@ -208,14 +219,20 @@ class AudioFeaturizer:
         xp = reflect_pad_ragged(x, lengths, n_fft // 2)
         s_last = xp.shape[1] - n_fft
 
-        def step(_, t):
-            s = jnp.minimum(t * hop, s_last)
-            return None, jax.lax.dynamic_slice(xp, (0, s), (B, n_fft))
+        # every drawn window's nonzero support nests inside the max-rate
+        # window's (both centered in n_fft) — slice frames + DFT rows to it
+        off, span = window_support(n_fft, c.max_stretch_win)
 
-        _, frames = jax.lax.scan(step, None, jnp.arange(T_max, dtype=jnp.int32))
-        window = dynamic_hann_window(n_fft, win)
+        def step(_, t):
+            s = jnp.minimum(t * hop, s_last) + off
+            return None, jax.lax.dynamic_slice(xp, (0, s), (B, span))
+
+        _, frames = jax.lax.scan(step, None, jnp.arange(T_max, dtype=jnp.int32),
+                                 unroll=8)  # scan launch overhead, ~30% faster
+        window = dynamic_hann_window(n_fft, win)[off : off + span]
         spec = magnitude_dft(frames * window, n_fft,
-                             precision=jax.lax.Precision.HIGH)  # (T, B, F)
+                             precision=jax.lax.Precision.HIGH,
+                             support=(off, span))  # (T, B, F)
         mel = self._finalize(self._mel_of_spec(spec))
         mel = jnp.swapaxes(mel, 0, 1)  # (B, T, M)
         t = jnp.arange(T_max, dtype=jnp.int32)[None, :]

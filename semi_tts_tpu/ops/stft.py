@@ -89,18 +89,33 @@ def reflect_pad_ragged(x: jnp.ndarray, lengths: jnp.ndarray, pad: int) -> jnp.nd
     return jax.vmap(place)(y, tails, L)
 
 
-def frame_signal(x_padded: jnp.ndarray, n_fft: int, hop, num_frames: int) -> jnp.ndarray:
-    """Extract ``num_frames`` frames of length ``n_fft`` at (possibly traced)
-    stride ``hop`` from a padded batch ``(B, S_pad)`` -> ``(B, T, n_fft)``.
+def window_support(n_fft: int, win_length: int) -> tuple:
+    """(offset, span) of the nonzero region of a ``win_length`` window
+    centered in an ``n_fft`` frame. Everything outside is an exact zero after
+    windowing, so frames and DFT-matrix rows can be sliced to this support —
+    numerically identical, ~``win_length/n_fft`` of the MACs and framing
+    traffic (46% savings at the reference's 1102-in-2048 geometry)."""
+    return (n_fft - win_length) // 2, win_length
+
+
+def frame_signal(x_padded: jnp.ndarray, n_fft: int, hop, num_frames: int,
+                 *, support: tuple | None = None) -> jnp.ndarray:
+    """Extract ``num_frames`` frames at (possibly traced) stride ``hop`` from
+    a padded batch ``(B, S_pad)`` -> ``(B, T, span)``.
+
+    ``support``: optional (offset, span) — slice only that sub-range of each
+    nominal ``n_fft`` frame (the window's nonzero region). Default: whole
+    frames.
 
     Uses per-frame contiguous ``dynamic_slice`` (XLA gather with
-    ``slice_sizes=(n_fft,)``) rather than a materialized (T, n_fft) index
+    ``slice_sizes=(span,)``) rather than a materialized (T, span) index
     gather — the latter is an element-wise gather and ~50x slower on TPU.
     """
-    starts = jnp.arange(num_frames, dtype=jnp.int32) * jnp.asarray(hop, jnp.int32)
+    offset, span = support if support is not None else (0, n_fft)
+    starts = jnp.arange(num_frames, dtype=jnp.int32) * jnp.asarray(hop, jnp.int32) + offset
 
     def row(xp):
-        return jax.vmap(lambda s: jax.lax.dynamic_slice(xp, (s,), (n_fft,)))(starts)
+        return jax.vmap(lambda s: jax.lax.dynamic_slice(xp, (s,), (span,)))(starts)
 
     return jax.vmap(row)(x_padded)
 
@@ -134,22 +149,40 @@ def _windowed_dft_matrices(n_fft: int, win_length: int):
     return (w[:, None] * C).astype(np.float32), (w[:, None] * S).astype(np.float32)
 
 
+@lru_cache(maxsize=8)
+def _support_dft_matrices(n_fft: int, fold_window: int | None, support: tuple):
+    """Row-sliced DFT matrices for a window support (see `window_support`)."""
+    if fold_window is not None:
+        C, S = _windowed_dft_matrices(n_fft, fold_window)
+    else:
+        C, S = _dft_matrices(n_fft)
+    off, span = support
+    return C[off : off + span], S[off : off + span]
+
+
 def magnitude_dft(frames: jnp.ndarray, n_fft: int,
                   precision=jax.lax.Precision.HIGHEST,
-                  fold_window: int | None = None) -> jnp.ndarray:
-    """|rFFT| of frames ``(..., n_fft)`` via MXU matmuls.
+                  fold_window: int | None = None,
+                  support: tuple | None = None) -> jnp.ndarray:
+    """|rFFT| of frames ``(..., n_fft)`` (or ``(..., span)``) via MXU matmuls.
 
     ``fold_window``: a *static* win_length to fold into the DFT matrices
     (frames must then be unwindowed); None means frames are pre-windowed.
+    ``support``: optional (offset, span) — frames hold only that sub-range of
+    each nominal frame (everything else is an exact zero after windowing);
+    DFT matrices are row-sliced to match. Numerically identical, fewer MACs.
 
     Precision: HIGHEST (fp32, ~0.001 dB max error vs float64 FFT) for the
     fidelity-critical clean path; HIGH (bf16x3, ~0.04 dB max error) is fine
     for the augmentation path whose output is noise-dominated by design.
     """
-    if fold_window is not None:
+    if support is not None:
+        C, S = _support_dft_matrices(n_fft, fold_window, tuple(support))
+    elif fold_window is not None:
         C, S = _windowed_dft_matrices(n_fft, fold_window)
     else:
         C, S = _dft_matrices(n_fft)
+    assert frames.shape[-1] == C.shape[0], (frames.shape, C.shape)
     re = jnp.einsum("...n,nf->...f", frames, C, precision=precision)
     im = jnp.einsum("...n,nf->...f", frames, S, precision=precision)
     return jnp.sqrt(re * re + im * im)
@@ -177,10 +210,15 @@ def stft_magnitude(
     """
     pad = n_fft // 2
     xp = reflect_pad_ragged(x, lengths, pad)
-    frames = frame_signal(xp, n_fft, hop, num_frames)
     if isinstance(win_length, int):
-        spec = magnitude_dft(frames, n_fft, precision=precision, fold_window=win_length)
+        # slice frames + DFT rows to the window's nonzero support — identical
+        # output, ~win/n_fft of the MACs and framing traffic
+        sup = window_support(n_fft, win_length)
+        frames = frame_signal(xp, n_fft, hop, num_frames, support=sup)
+        spec = magnitude_dft(frames, n_fft, precision=precision,
+                             fold_window=win_length, support=sup)
     else:
+        frames = frame_signal(xp, n_fft, hop, num_frames)
         window = dynamic_hann_window(n_fft, win_length)
         spec = magnitude_dft(frames * window[None, None, :], n_fft, precision=precision)
     if frame_lengths is not None:
