@@ -228,6 +228,98 @@ def stft_magnitude(
     return spec
 
 
+@lru_cache(maxsize=4)
+def _inv_dft_window_matrices(n_fft: int, win_length: int):
+    """Windowed inverse-rDFT projection matrices (F, span) for re and im.
+
+    ``irfft(X)[n] * w[n]`` restricted to the window's nonzero support:
+    x_n = (1/N)[X_0 + 2 sum_{k=1}^{N/2-1}(re_k cos - im_k sin) + re_{N/2} cos(pi n)]
+    with the centered Hann window folded into the columns. Lets the
+    Griffin-Lim inner loop run irfft+window as two MXU matmuls over only the
+    ``win_length`` samples the overlap-add actually consumes.
+    """
+    F = n_fft // 2 + 1
+    off, span = window_support(n_fft, win_length)
+    n = np.arange(off, off + span, dtype=np.float64)[None, :]
+    k = np.arange(F, dtype=np.float64)[:, None]
+    ang = 2.0 * np.pi * k * n / n_fft
+    c = np.full((F, 1), 2.0)
+    c[0] = c[-1] = 1.0
+    w = np.zeros(n_fft)
+    j = np.arange(win_length, dtype=np.float64)
+    w[off : off + win_length] = 0.5 - 0.5 * np.cos(2.0 * np.pi * j / win_length)
+    wn = w[off : off + span][None, :]
+    A = (c * np.cos(ang) * wn / n_fft).astype(np.float32)
+    B = (-c * np.sin(ang) * wn / n_fft).astype(np.float32)
+    return A, B
+
+
+def stft_reim(x: jnp.ndarray, *, n_fft: int, hop: int, win_length: int,
+              precision=jax.lax.Precision.HIGHEST):
+    """Complex STFT of ``(..., S)`` as a (re, im) pair of real arrays — the
+    matmul fast path of `stft_complex` (identical math; frames come from
+    contiguous ``dynamic_slice``s over the window support and the windowed
+    DFT runs as two MXU matmuls instead of ``jnp.fft.rfft`` over a whole-
+    frame element gather). Static geometry only."""
+    pad = n_fft // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    S = x.shape[-1]
+    num_frames = 1 + S // hop
+    sup = window_support(n_fft, win_length)
+    lead = xp.shape[:-1]
+    frames = frame_signal(xp.reshape((-1, xp.shape[-1])), n_fft, hop, num_frames,
+                          support=sup)
+    frames = frames.reshape(lead + frames.shape[1:])
+    C, Sm = _support_dft_matrices(n_fft, win_length, sup)
+    re = jnp.einsum("...n,nf->...f", frames, C, precision=precision)
+    im = jnp.einsum("...n,nf->...f", frames, Sm, precision=precision)
+    return re, im
+
+
+def istft_reim(re: jnp.ndarray, im: jnp.ndarray, *, n_fft: int, hop: int,
+               win_length: int, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Inverse STFT of a (re, im) spectrum pair ``(..., T, F)`` — the matmul
+    fast path of `istft` (same windowed overlap-add semantics; irfft+window
+    is two MXU matmuls over the window support, OLA is shifted-slice adds).
+    Static geometry, ``length=None`` trim only."""
+    T = re.shape[-2]
+    off, span = window_support(n_fft, win_length)
+    A, Bm = _inv_dft_window_matrices(n_fft, win_length)
+    frames = (jnp.einsum("...f,fn->...n", re, A, precision=precision)
+              + jnp.einsum("...f,fn->...n", im, Bm, precision=precision))
+
+    expected = n_fft + hop * (T - 1)
+    lead_shape = frames.shape[:-2]
+    flat = frames.reshape((-1, T, span))
+    B = flat.shape[0]
+
+    # OLA: out[q*hop + r] = sum_k frames[q - k, k*hop + r - off] restricted to
+    # the support — shifted-slice adds over a (B, T+K-1, hop) accumulator
+    K = -(-(off + span) // hop)
+    rows = T + K - 1
+    acc = jnp.zeros((B, rows, hop), frames.dtype)
+    for k in range(K):
+        lo = max(k * hop, off)
+        hi = min((k + 1) * hop, off + span)
+        if hi <= lo:
+            continue
+        chunk = flat[:, :, lo - off : hi - off]
+        acc = acc.at[:, k : k + T, lo - k * hop : hi - k * hop].add(chunk)
+    sig = acc.reshape(B, rows * hop)[:, :expected]
+
+    wnp = np.zeros(n_fft)
+    j = np.arange(win_length, dtype=np.float64)
+    wnp[off : off + win_length] = 0.5 - 0.5 * np.cos(2.0 * np.pi * j / win_length)
+    env_np = np.zeros(expected)
+    for t in range(T):
+        env_np[t * hop : t * hop + n_fft] += wnp**2
+    env = jnp.asarray(env_np, frames.dtype)
+
+    half = n_fft // 2
+    sig = sig[:, half : expected - half] / jnp.maximum(env[half : expected - half], 1e-11)
+    return sig.reshape(lead_shape + (sig.shape[-1],))
+
+
 def stft_complex(x: jnp.ndarray, *, n_fft: int, hop: int, win_length: int) -> jnp.ndarray:
     """Complex STFT of ``(..., S)`` with whole-array reflect padding —
     the Griffin-Lim inner loop operates on a single fixed-length signal,

@@ -110,5 +110,28 @@ def test_istft_batched():
     np.testing.assert_allclose(back[:, :n], x[:, :n], atol=1e-3)
 
 
+def test_stft_reim_matches_stft_complex():
+    """The Griffin-Lim matmul fast path agrees with the reference-semantics
+    complex/FFT forms."""
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, HOP * 40).astype(np.float32) * 0.3
+    y = S.stft_complex(jnp.asarray(x), n_fft=N_FFT, hop=HOP, win_length=WIN)
+    re, im = S.stft_reim(jnp.asarray(x), n_fft=N_FFT, hop=HOP, win_length=WIN)
+    np.testing.assert_allclose(np.asarray(re), np.asarray(y).real, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(y).imag, atol=2e-3)
+
+
+def test_istft_reim_matches_istft():
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, HOP * 40).astype(np.float32) * 0.3
+    y = S.stft_complex(jnp.asarray(x), n_fft=N_FFT, hop=HOP, win_length=WIN)
+    want = np.asarray(S.istft(y, n_fft=N_FFT, hop=HOP, win_length=WIN))
+    got = np.asarray(S.istft_reim(jnp.asarray(np.asarray(y).real),
+                                  jnp.asarray(np.asarray(y).imag),
+                                  n_fft=N_FFT, hop=HOP, win_length=WIN))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_nola_positive():
     assert S.nola_check(N_FFT, HOP, WIN) > 1e-11
