@@ -45,6 +45,10 @@ parser.add_argument("--asr-only", action="store_true",
                     help="Train just the supervised ASR branch.")
 parser.add_argument("--gen-wav", action="store_true",
                     help="Also vocode generated spectrograms with Griffin-Lim.")
+parser.add_argument("--pretrain-speech", action="store_true",
+                    help="Pretrain the audio LM (TTS decoder init; emits best_mel.pth).")
+parser.add_argument("--pretrain-text", action="store_true",
+                    help="Pretrain the text LM (codebook init; emits best_acc.pth).")
 parser.add_argument("--profile", action="store_true",
                     help="Capture a jax.profiler trace of a window of train steps into logdir.")
 paras = parser.parse_args()
@@ -78,6 +82,12 @@ elif paras.gen_gt_specgram:
 elif paras.asr_only:
     mode = "train"
     from semi_tts_tpu.train.train_asr import AsrTrainer as Solver
+elif paras.pretrain_speech:
+    mode = "train"
+    from semi_tts_tpu.train.train_lm import AudioLmTrainer as Solver
+elif paras.pretrain_text:
+    mode = "train"
+    from semi_tts_tpu.train.train_lm import TextLmTrainer as Solver
 else:
     mode = "train"
     from semi_tts_tpu.train.train_vqvae import VqvaeTrainer as Solver

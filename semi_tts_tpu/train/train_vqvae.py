@@ -64,10 +64,16 @@ class VqvaeTrainer(BaseSolver):
     # ------------------------------------------------ model
     def set_model(self):
         model_cfg = dict(self.config["model"])
+        # graft targets mirror the reference's partial loads
+        # (`src/vqvae.py:71-90`): whole ASR encoder, the codebook *table*
+        # only (`src/embed.py:41-48`), and the TTS decoder (+ mel->linear
+        # postnet when present) — not the TTS text encoder
+        tts_ckpt = model_cfg.pop("pretrained_tts", None)
         pretrained = {
             "asr": model_cfg.pop("pretrained_asr", None),
-            "codebook": model_cfg.pop("pretrained_emb", None),
-            "tts": model_cfg.pop("pretrained_tts", None),
+            "codebook/learnable_table": model_cfg.pop("pretrained_emb", None),
+            "tts/decoder": tts_ckpt,
+            "tts/postnet": tts_ckpt if self.linear_dim else None,
         }
         phn_attr_pth = model_cfg["codebook"].get("phn_attr_pth") or ""
         self.phn_attr = None
