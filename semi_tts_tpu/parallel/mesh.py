@@ -46,32 +46,12 @@ def shard_batch(batch_tree, mesh: Mesh):
         batch_tree)
 
 
-def _param_spec(path: str, leaf, mesh: Mesh) -> P:
-    """Tensor-parallel rule: shard the output dimension (dim 0) of the wide
-    recurrent/projection weights over 'model' when it divides evenly; bias
-    and small tensors replicate. Gate-stacked LSTM weights (4H, D) shard on
-    4H so each model shard owns whole gates-slices (XLA handles the
-    all-reduce of the recurrent matmul)."""
-    size = mesh.shape["model"]
-    if size == 1 or leaf.ndim < 2:
-        return P()
-    d0 = leaf.shape[0]
-    wide = ("w_ih" in path or "w_hh" in path or path.endswith("/w")) and d0 >= 64
-    if wide and d0 % size == 0:
-        return P("model")
-    return P()
+def shard_params(params, mesh: Mesh, specs=None):
+    """Place a VQVAE param pytree by the explicit per-module PartitionSpecs
+    of `parallel.sharding` (pass ``specs`` for any other model's tree)."""
+    from .sharding import place_params
 
-
-def shard_params(params, mesh: Mesh):
-    """Place a param pytree: TP rule above, everything else replicated."""
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-
-    def keystr(kp):
-        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-
-    placed = [jax.device_put(leaf, NamedSharding(mesh, _param_spec(keystr(kp), leaf, mesh)))
-              for kp, leaf in flat]
-    return jax.tree_util.tree_unflatten(treedef, placed)
+    return place_params(params, mesh, specs)
 
 
 def replicate(tree, mesh: Mesh):

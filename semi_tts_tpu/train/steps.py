@@ -69,7 +69,7 @@ class StepBuilder:
     model/audio config, loss weights, optax transformation."""
 
     def __init__(self, cfg: V.VQVAEConfig, feat, phn_attr, tx, *, weights: Weights,
-                 freq_loss_kwargs: dict, actual_len: bool = False):
+                 freq_loss_kwargs: dict, actual_len: bool = False, mesh=None):
         self.cfg = cfg
         self.feat = feat
         self.phn_attr = phn_attr
@@ -78,17 +78,29 @@ class StepBuilder:
         self.floss = partial(freq_loss, **freq_loss_kwargs)
         self.actual_len = actual_len
         self.r = cfg.n_frames_per_step
+        self.mesh = mesh  # optional ('data','model') mesh: in-step constraints
+
+    def _c(self, x):
+        """Pin the batch axis of a big activation to the 'data' mesh axis at
+        module boundaries so XLA keeps the DP layout through the step (no-op
+        without a mesh)."""
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(self.mesh, spec))
 
     # ---------------- shared pieces ----------------
 
     def _features(self, rng, waves, wave_len, *, need_aug=True):
-        mel, linear, flen = self.feat.featurize(waves, wave_len)
-        mel = _pad_frames(mel, self.r)
-        linear = _pad_frames(linear, self.r)
+        mel, linear, flen = self.feat.featurize(self._c(waves), wave_len)
+        mel = self._c(_pad_frames(mel, self.r))
+        linear = self._c(_pad_frames(linear, self.r))
         if not need_aug:
             return mel, linear, None, flen, None
         aug, aug_flen = self.feat.featurize_augmented(waves, wave_len, rng)
-        return mel, linear, aug, flen, aug_flen
+        return mel, linear, self._c(aug), flen, aug_flen
 
     def _enc_len(self, flen, t_enc):
         """True (non-pad) ASR-encoder output length for per-item frame counts
@@ -128,6 +140,7 @@ class StepBuilder:
         B = mel.shape[0]
         p_code, _, post_prob, st = V.speech_to_text(
             params, state, rngs[0], cfg, self.phn_attr, aug_mel, paired_bs=B, train=True)
+        p_code = self._c(p_code)
         asr_loss = self._paired_ctc(aug_mel, p_code, text)
         lat = V.embed_text(params, cfg, self.phn_attr, text)
         # encoded length = non-pad tokens + the trailing <pad> (src/text.py:65)
@@ -136,6 +149,7 @@ class StepBuilder:
             params, st, rngs[1], cfg, lat, sid,
             decode_steps=mel.shape[1] // self.r, train=True, teacher=mel,
             tf_rate=tf_rate, latent_lengths=lat_len)
+        mel_pred, lin_pred = self._c(mel_pred), self._c(lin_pred)
         mel_loss = self.floss(mel_pred, mel)
         lin_loss = self.floss(lin_pred, linear) if lin_pred is not None else 0.0
         total = self.w.tts * (mel_loss + lin_loss)
@@ -192,7 +206,8 @@ class StepBuilder:
                 # speech -> text on packed aug mels (`src/vqvae.py:106-141`)
                 _, all_aug = padded_concat(aug, u_aug)
                 p_code, q, post_prob, st = V.speech_to_text(
-                    p, state, k1, cfg, self.phn_attr, all_aug, paired_bs=Bp, train=True)
+                    p, state, k1, cfg, self.phn_attr, self._c(all_aug), paired_bs=Bp, train=True)
+                p_code = self._c(p_code)
                 pair_prob = p_code[:Bp, : aug.shape[1] // cfg.time_reduce_factor]
                 u_latent, u_lens, ok = trim_merge_segments(
                     p_code[Bp:], q[Bp:], max_frames_per_phn=cfg.max_frames_per_phn)
@@ -210,6 +225,7 @@ class StepBuilder:
                     decode_steps=all_teacher.shape[1] // r, train=True,
                     teacher=all_teacher, tf_rate=tf_rate,
                     latent_lengths=all_lat_len)
+                mel_pred, lin_pred = self._c(mel_pred), self._c(lin_pred)
 
                 Tp, Tu = mel.shape[1], u_mel.shape[1]
                 mel_loss = self.floss(mel_pred[:Bp, :Tp], mel)
@@ -270,6 +286,7 @@ class StepBuilder:
                     p, state, k2, cfg, all_lat, all_sid, decode_steps=decode_steps,
                     train=True, teacher=teacher, teacher_rows=teacher_rows,
                     tf_rate=tf_rate, latent_lengths=all_lat_len)
+                mel_pred, lin_pred = self._c(mel_pred), self._c(lin_pred)
 
                 Tp = mel.shape[1]
                 mel_loss = self.floss(mel_pred[:Bp, :Tp], mel)
@@ -279,8 +296,9 @@ class StepBuilder:
                 fake_mel = jax.lax.stop_gradient(mel_pred[Bp:, :u_ts])
                 _, all_mel2 = padded_concat(aug, fake_mel)
                 p_code, _, post_prob, st = V.speech_to_text(
-                    p, st, k1, cfg, self.phn_attr, all_mel2, paired_bs=Bp,
+                    p, st, k1, cfg, self.phn_attr, self._c(all_mel2), paired_bs=Bp,
                     first_n_real_mel=Bp, train=True)
+                p_code = self._c(p_code)
                 T_enc_p = aug.shape[1] // cfg.time_reduce_factor
                 pair_prob = p_code[:Bp, :T_enc_p]
                 u_prob = p_code[Bp:, : u_ts // cfg.time_reduce_factor]

@@ -1,17 +1,14 @@
-"""Mesh + sharding rules on the virtual 8-device CPU mesh."""
+"""Mesh + explicit sharding specs on the virtual 8-device CPU mesh, including
+the DP4xTP2 == single-device numerical-equality gate on a full train step."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
-from semi_tts_tpu.parallel.mesh import (
-    batch_sharding,
-    make_mesh,
-    replicate,
-    shard_batch,
-    shard_params,
-)
+from semi_tts_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_params
+from semi_tts_tpu.parallel.sharding import vqvae_param_specs
 
 
 def test_mesh_shapes():
@@ -21,47 +18,92 @@ def test_mesh_shapes():
     assert dict(mesh2.shape) == {"data": 8, "model": 1}
 
 
-def test_param_sharding_rules():
+def _small_model():
+    import __graft_entry__ as g
+
+    return g._build("small")
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    return _small_model()
+
+
+def test_explicit_specs_cover_tree(small_model):
+    """The spec tree is congruent with the real param tree, and the intended
+    modules carry 'model' shards."""
+    _, _, _, params, _ = small_model
+    specs = vqvae_param_specs(params)
+    # congruence: tree_map across both trees must succeed
+    jax.tree_util.tree_map(lambda a, b: None, params, specs)
+    assert specs["asr"]["rnn"][0]["fwd"]["w_ih"] == P("model", None)
+    assert specs["tts"]["decoder"]["query_rnn"]["w_hh"] == P("model", None)
+    assert specs["tts"]["decoder"]["proj"]["w"] == P("model", None)
+    assert specs["tts"]["decoder"]["attn"]["v"]["w"] == P()
+    assert specs["codebook"]["learnable_table"] == P()
+
+
+def test_placement_and_divisibility_fallback(small_model):
+    _, _, _, params, _ = small_model
     mesh = make_mesh(8, model_parallel=2)
-    params = {
-        "rnn": {"w_ih": jnp.zeros((4096, 768)), "w_hh": jnp.zeros((4096, 1024)),
-                "b_ih": jnp.zeros(4096)},
-        "proj": {"w": jnp.zeros((240, 1536)), "b": jnp.zeros(240)},
-        "tiny": {"w": jnp.zeros((3, 5))},
-        "odd": {"w_ih": jnp.zeros((129, 64))},  # not divisible by 2 -> replicate
-    }
     placed = shard_params(params, mesh)
-    def spec(x):
-        return x.sharding.spec
+    # a wide LSTM weight is genuinely sharded on 'model'
+    spec = placed["tts"]["decoder"]["query_rnn"]["w_ih"].sharding.spec
+    assert spec == P("model", None)
+    # the postnet linear (1025 rows, odd) falls back to replication
+    if "postnet" in placed["tts"]:
+        assert placed["tts"]["postnet"]["linear"]["w"].sharding.spec == P()
+    # small tensors replicate
+    assert placed["spkr_embed"].sharding.spec == P()
 
-    assert spec(placed["rnn"]["w_ih"]) == P("model")
-    assert spec(placed["rnn"]["w_hh"]) == P("model")
-    assert spec(placed["rnn"]["b_ih"]) == P()
-    assert spec(placed["proj"]["w"]) == P("model")
-    assert spec(placed["tiny"]["w"]) == P()
-    assert spec(placed["odd"]["w_ih"]) == P()
 
+def test_dp_tp_step_matches_single_device(small_model):
+    """A full speech-first train step on the DP4xTP2 mesh must match the
+    single-device step numerically (same rng stream; fp reduction-order
+    tolerance only)."""
+    import __graft_entry__ as g
+    from semi_tts_tpu.train.optim import make_optimizer
+    from semi_tts_tpu.train.steps import StepBuilder, Weights
 
-def test_dp_tp_execution():
-    """A DP-sharded batch through a TP-sharded matmul executes and matches
-    the unsharded result (XLA inserts the collectives)."""
+    cfg, feat, phn_attr, params, state = small_model
+    tx, _ = make_optimizer("Adam", 1e-3, "decay")
+    kwargs = dict(weights=Weights(unpair_speech=10.0),
+                  freq_loss_kwargs=dict(sample_rate=22050, n_mels=80, loss="mse",
+                                        differential_loss=True,
+                                        emphasize_linear_low=True))
+    B = 8
+    waves, wave_len, text, sid = g._example_batch(B, 0.6)
+    u = g._example_batch(B, 0.6, seed=1)
+    args = tuple(map(jnp.asarray, (waves, wave_len, text, sid) + u))
+    key = jax.random.PRNGKey(0)
+    opt_state = tx.init(params)
+
+    # single device (copies: the step donates params/opt_state buffers)
+    params1 = jax.tree_util.tree_map(jnp.array, params)
+    opt1 = jax.tree_util.tree_map(jnp.array, opt_state)
+    step1 = StepBuilder(cfg, feat, phn_attr, tx, **kwargs).make_speech_first_step()
+    p1, s1, o1, m1 = step1(params1, state, opt1, key, 1, 1.0, *args)
+
+    # DP4 x TP2 mesh
     mesh = make_mesh(8, model_parallel=2)
-    rng = np.random.RandomState(0)
-    x = rng.randn(8, 64).astype(np.float32)
-    w = rng.randn(128, 64).astype(np.float32)
-
-    params = {"layer": {"w_ih": jnp.asarray(w)}}
-    placed = shard_params(params, mesh)
-    xb = shard_batch({"x": jnp.asarray(x)}, mesh)
-
-    @jax.jit
-    def f(p, x):
-        return jnp.tanh(x @ p["layer"]["w_ih"].T).sum(axis=1)
-
+    builder = StepBuilder(cfg, feat, phn_attr, tx, mesh=mesh, **kwargs)
+    step8 = builder.make_speech_first_step()
+    params8 = shard_params(params, mesh)
+    state8 = replicate(state, mesh)
+    opt8 = replicate(tx.init(params8), mesh)
+    batch8 = shard_batch(dict(a=args), mesh)["a"]
     with mesh:
-        got = np.asarray(f(placed, xb["x"]))
-    want = np.tanh(x @ w.T).sum(1)
-    np.testing.assert_allclose(got, want, rtol=1e-5)
+        p8, s8, o8, m8 = step8(params8, state8, opt8, key, 1, 1.0, *batch8)
+
+    assert np.isfinite(float(m1["total_loss"]))
+    np.testing.assert_allclose(float(m8["total_loss"]), float(m1["total_loss"]),
+                               rtol=2e-4)
+    # updated parameters agree leaf-by-leaf
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5)
 
 
 def test_replicate():
