@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Headline benchmark (driver-run): on-device featurization throughput vs the
-reference's CPU pipeline, plus AR-decoder throughput.
+reference's CPU pipeline, plus AR-decoder / train-step / Griffin-Lim numbers
+and MFU estimates.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
@@ -9,6 +10,14 @@ The baseline is measured in-process: the reference extracts features per file
 on CPU (torch.stft + mel matmul + dB + normalize, `src/audio.py:156-177`,
 driven from DataLoader workers `src/data.py:127-128`); we run exactly that
 math with torch on this host's CPU and compare mel-frames/sec.
+
+Timing methodology (axon tunnel): N iterations chained inside ONE jitted
+fori_loop, a single scalar float() readback (block_until_ready does not
+reliably flush the remote queue). MFU = analytic dot/conv FLOPs
+(`utils.flops.matmul_flops`, scan-aware — XLA's own cost_analysis counts
+loop bodies once) / time / bf16 peak. These are *useful* FLOPs: dots at
+HIGH (bf16x3) precision execute 3 hardware passes per counted dot, so
+hardware busy-ness is up to 3x the reported MFU.
 """
 
 from __future__ import annotations
@@ -17,6 +26,8 @@ import json
 import time
 
 import numpy as np
+
+V5E_BF16_PEAK = 197e12  # TPU v5e bf16 MXU peak FLOP/s
 
 
 def _bench_tpu_featurizer(waves, lengths, iters=10):
@@ -46,10 +57,16 @@ def _bench_tpu_featurizer(waves, lengths, iters=10):
     t0 = time.perf_counter()
     float(chained(wd, ld, key))
     dt = (time.perf_counter() - t0) / iters
+    from semi_tts_tpu.utils.flops import matmul_flops
+
+    flops = matmul_flops(
+        lambda w, l, k: (feat.featurize(w, l), feat.featurize_augmented(w, l, k)),
+        wd, ld, key)
+    mfu = flops / dt / V5E_BF16_PEAK
     _, _, fl = feat.featurize(wd, ld)
     _, al = feat.featurize_augmented(wd, ld, key)
     frames = int(np.asarray(fl).sum()) + int(np.asarray(al).sum())
-    return frames / dt, dt
+    return frames / dt, dt, mfu
 
 
 def _bench_cpu_reference(waves, lengths, n_files=8):
@@ -137,7 +154,103 @@ def _bench_decoder(iters=3):
     t0 = time.perf_counter()
     float(chained(params, state, text, sid, key))
     dt = (time.perf_counter() - t0) / iters
-    return (B * decode_steps * cfg.n_frames_per_step) / dt
+    from semi_tts_tpu.utils.flops import matmul_flops
+
+    flops = matmul_flops(infer, params, state, text, sid, key)
+    mfu = flops / dt / V5E_BF16_PEAK
+    return (B * decode_steps * cfg.n_frames_per_step) / dt, mfu
+
+
+def _bench_train_steps(iters=3):
+    """Full-size semi-supervised train-step wall times (paired /
+    speech-first / text-first cycles, B=8 paired + B=8 unpaired, 6 s waves) —
+    the TPU counterpart of the reference's only perf instrument, the
+    ``sec/step`` line (`src/util.py:35-43`)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from semi_tts_tpu.train.optim import make_optimizer
+    from semi_tts_tpu.train.steps import StepBuilder, Weights
+
+    cfg, feat, phn_attr, params, state = g._build("full")
+    tx, _ = make_optimizer("Adam", 1e-3, "decay")
+    builder = StepBuilder(cfg, feat, phn_attr, tx,
+                          weights=Weights(1.0, 1.0, 1.0, 10.0, 0, 0),
+                          freq_loss_kwargs=dict(sample_rate=22050, n_mels=80,
+                                                loss="mse", differential_loss=True,
+                                                emphasize_linear_low=True))
+    opt_state = tx.init(params)
+    B = 8
+    waves, wave_len, text, sid = g._example_batch(B, 6.0, U=32, seed=0)
+    u_waves, u_wave_len, u_text, u_sid = g._example_batch(B, 6.0, U=32, seed=1)
+    pair = tuple(map(jnp.asarray, (waves, wave_len, text, sid)))
+    unpair = tuple(map(jnp.asarray, (u_waves, u_wave_len, u_text, u_sid)))
+    key = jax.random.PRNGKey(0)
+
+    variants = {
+        "paired": (builder.make_paired_step(), pair),
+        "speech_first": (builder.make_speech_first_step(), pair + unpair),
+        "text_first": (builder.make_text_first_step(), pair + unpair),
+    }
+    out = {}
+    mfu_paired = None
+    for name, (step, args) in variants.items():
+        @jax.jit
+        def chained(params, state, opt_state, key, *args):
+            def body(i, c):
+                p, s, o = c
+                p, s, o, _ = step(p, s, o, key, i, 0.9, *args)
+                return (p, s, o)
+            p, s, o = jax.lax.fori_loop(0, iters, body, (params, state, opt_state))
+            return jax.tree_util.tree_leaves(p)[0].reshape(-1)[0]
+
+        float(chained(params, state, opt_state, key, *args))  # compile + warm
+        t0 = time.perf_counter()
+        float(chained(params, state, opt_state, key, *args))
+        dt = (time.perf_counter() - t0) / iters
+        out[name] = dt
+        if name == "paired":
+            from semi_tts_tpu.utils.flops import matmul_flops
+
+            flops = matmul_flops(
+                lambda *a: step(*a), params, state, opt_state, key, 1, 0.9, *args)
+            mfu_paired = flops / dt / V5E_BF16_PEAK
+    return out, mfu_paired
+
+
+def _bench_griffin_lim(iters=3):
+    """Batched Griffin-Lim vocoder throughput (B=16 utterances of ~7.5 s,
+    30 iterations — `src/audio.py:179-226`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semi_tts_tpu.ops.features import AudioConfig, AudioFeaturizer
+    from semi_tts_tpu.ops.griffin_lim import griffin_lim
+
+    feat = AudioFeaturizer(AudioConfig())
+    c = feat.cfg
+    B, T = 16, 600
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.uniform(0.0, 0.8, size=(B, T, 80)).astype(np.float32))
+    amp = feat.mel_to_linear_amp(mel)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def chained(amp, key):
+        def body(i, s):
+            w = griffin_lim(amp + i * 1e-9, jax.random.fold_in(key, i),
+                            n_fft=c.n_fft, hop=c.hop_length, win_length=c.win_length)
+            return s + w[0, 0]
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(chained(amp, key))  # compile + warm
+    t0 = time.perf_counter()
+    float(chained(amp, key))
+    dt = (time.perf_counter() - t0) / iters
+    return B / dt, dt
 
 
 def main():
@@ -147,9 +260,11 @@ def main():
     waves = (rng.randn(B, S) * 0.1).astype(np.float32)
     lengths = rng.randint(int(0.7 * S), S + 1, size=B).astype(np.int32)
 
-    tpu_rate, step_dt = _bench_tpu_featurizer(waves, lengths)
+    tpu_rate, step_dt, feat_mfu = _bench_tpu_featurizer(waves, lengths)
     cpu_rate = _bench_cpu_reference(waves, lengths)
-    dec_rate = _bench_decoder()
+    dec_rate, dec_mfu = _bench_decoder()
+    train_ms, train_mfu = _bench_train_steps()
+    gl_rate, gl_dt = _bench_griffin_lim()
 
     print(json.dumps({
         "metric": "featurization_mel_frames_per_sec",
@@ -158,7 +273,15 @@ def main():
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
         "baseline_cpu_mel_frames_per_sec": round(cpu_rate, 1),
         "featurize_batch_ms": round(step_dt * 1e3, 2),
+        "featurizer_mfu_pct": round(100 * feat_mfu, 1),
         "ar_decoder_mel_frames_per_sec_per_chip": round(dec_rate, 1),
+        "ar_decoder_mfu_pct": round(100 * dec_mfu, 1),
+        "train_step_ms_paired": round(train_ms["paired"] * 1e3, 1),
+        "train_step_ms_speech_first": round(train_ms["speech_first"] * 1e3, 1),
+        "train_step_ms_text_first": round(train_ms["text_first"] * 1e3, 1),
+        "train_step_mfu_pct": round(100 * train_mfu, 1),
+        "griffin_lim_utt_per_sec": round(gl_rate, 1),
+        "griffin_lim_batch_ms": round(gl_dt * 1e3, 1),
     }))
 
 
