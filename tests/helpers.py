@@ -18,6 +18,51 @@ VOCAB = [l.strip() for l in open(join(REPO, "data/cmu_phn.vocab"))]
 SR = 22050
 
 
+def synthesize_speech(duration, sr=SR, seed=0, f0=120.0):
+    """Formant-synthesized pseudo-speech with real speech structure: voiced
+    vowel segments (glottal-pulse source with an f0 contour driven through a
+    3-formant resonator cascade), unvoiced fricative bursts, and silence
+    gaps. Gives the fidelity/e2e tests a fixture with formants, harmonics,
+    onsets, and silences rather than a sine+noise proxy."""
+    from scipy.signal import lfilter
+
+    rng = np.random.RandomState(seed)
+    n = int(duration * sr)
+    out = np.zeros(n)
+    # F1/F2/F3 of /a/, /i/, /u/, /ae/ (Peterson-Barney ballpark)
+    vowels = [(730, 1090, 2440), (270, 2290, 3010), (300, 870, 2240), (660, 1720, 2410)]
+    t = 0
+    while t < n:
+        seg_n = min(int(rng.uniform(0.08, 0.25) * sr), n - t)
+        kind = rng.rand()
+        if kind < 0.15:  # silence gap
+            t += seg_n
+            continue
+        if kind < 0.32:  # fricative: high-passed noise burst
+            sig = np.diff(rng.randn(seg_n), prepend=0.0) * 0.15
+        else:  # voiced vowel
+            i = np.arange(seg_n)
+            f = f0 * (1.0 + 0.08 * np.sin(2 * np.pi * 2.3 * i / sr)
+                      + rng.uniform(-0.08, 0.08))
+            phase = np.cumsum(f) / sr
+            src = np.maximum(0.0, np.sin(2 * np.pi * phase)) ** 4
+            src = np.diff(src, prepend=0.0)  # sharpened glottal pulses
+            sig = src
+            for fc, bw in zip(vowels[rng.randint(len(vowels))], (60, 90, 120)):
+                r = np.exp(-np.pi * bw / sr)
+                th = 2 * np.pi * fc / sr
+                sig = lfilter([1.0], [1.0, -2 * r * np.cos(th), r * r], sig)
+        ramp = min(seg_n // 4, int(0.01 * sr))
+        env = np.ones(seg_n)
+        if ramp > 0:
+            env[:ramp] = np.linspace(0, 1, ramp)
+            env[-ramp:] = np.linspace(1, 0, ramp)
+        out[t : t + seg_n] = sig * env
+        t += seg_n
+    peak = np.abs(out).max()
+    return (0.4 * out / max(peak, 1e-6)).astype(np.float32)
+
+
 def make_synthetic_corpus(root, n_per_split=(4, 4, 2, 2), seed=0):
     """Create wavs + partition table + spkr map + g2p map table under root.
 
@@ -39,11 +84,8 @@ def make_synthetic_corpus(root, n_per_split=(4, 4, 2, 2), seed=0):
             fid = f"{spk}_{fid_n:03d}"
             fid_n += 1
             dur = rng.uniform(0.35, 0.7)
-            L = int(dur * SR)
-            t = np.arange(L) / SR
-            f0 = rng.uniform(120, 400)
-            wav = (0.4 * np.sin(2 * np.pi * f0 * t)
-                   + 0.1 * rng.randn(L)).astype(np.float32) * 0.5
+            wav = synthesize_speech(dur, seed=rng.randint(1 << 30),
+                                    f0=rng.uniform(90, 250))
             os.makedirs(join(audio_dir, spk), exist_ok=True)
             wavio.write(join(audio_dir, spk, fid + ".wav"), wav, SR)
             rows.append(f"{fid},{spk},{split},{dur:.2f}")

@@ -49,6 +49,25 @@ def test_text_first_cycle_at_awkward_frames_per_step(tmp_path):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+def test_profile_flag_captures_trace(tmp_path):
+    """--profile wraps a window of train steps in a jax.profiler trace."""
+    root = str(tmp_path)
+    cfg = tiny_config(root, bone="seperate", max_step=2, valid_step=100)
+    from semi_tts_tpu.train.train_vqvae import VqvaeTrainer
+
+    paras = make_paras(root)
+    paras.profile = True
+    solver = VqvaeTrainer(cfg, paras, "train")
+    solver.load_data()
+    solver.set_model()
+    solver.exec()  # profile window = steps 1..2 at max_step=2
+    import glob
+    import os
+
+    traces = glob.glob(os.path.join(solver.logdir, "plugins", "profile", "*"))
+    assert traces, "no profiler trace captured under logdir"
+
+
 def test_cal_per_trims_pad_junk():
     from semi_tts_tpu.utils.metrics import cal_per
 
