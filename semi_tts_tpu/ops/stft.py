@@ -137,15 +137,33 @@ def _dft_matrices(n_fft: int):
     return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
 
 
+def _centered_hann_np(n_fft: int, win_length: int) -> np.ndarray:
+    """float64 periodic Hann of ``win_length``, centered in ``n_fft`` zeros —
+    the single static-window definition every matrix/envelope builder uses."""
+    w = np.zeros(n_fft)
+    left = (n_fft - win_length) // 2
+    k = np.arange(win_length, dtype=np.float64)
+    w[left : left + win_length] = 0.5 - 0.5 * np.cos(2.0 * np.pi * k / win_length)
+    return w
+
+
+@lru_cache(maxsize=8)
+def _static_ola_envelope(n_fft: int, hop: int, win_length: int, num_frames: int) -> np.ndarray:
+    """Squared-window overlap-add envelope (compile-time constant)."""
+    w2 = _centered_hann_np(n_fft, win_length) ** 2
+    expected = n_fft + hop * (num_frames - 1)
+    env = np.zeros(expected)
+    for t in range(num_frames):
+        env[t * hop : t * hop + n_fft] += w2
+    return env
+
+
 @lru_cache(maxsize=4)
 def _windowed_dft_matrices(n_fft: int, win_length: int):
     """DFT matrices with a static centered Hann window folded in — saves a
     full elementwise pass over the (huge) frames tensor on the clean path."""
     C, S = _dft_matrices(n_fft)
-    w = np.zeros(n_fft)
-    left = (n_fft - win_length) // 2
-    k = np.arange(win_length, dtype=np.float64)
-    w[left : left + win_length] = 0.5 - 0.5 * np.cos(2.0 * np.pi * k / win_length)
+    w = _centered_hann_np(n_fft, win_length)
     return (w[:, None] * C).astype(np.float32), (w[:, None] * S).astype(np.float32)
 
 
@@ -245,10 +263,7 @@ def _inv_dft_window_matrices(n_fft: int, win_length: int):
     ang = 2.0 * np.pi * k * n / n_fft
     c = np.full((F, 1), 2.0)
     c[0] = c[-1] = 1.0
-    w = np.zeros(n_fft)
-    j = np.arange(win_length, dtype=np.float64)
-    w[off : off + win_length] = 0.5 - 0.5 * np.cos(2.0 * np.pi * j / win_length)
-    wn = w[off : off + span][None, :]
+    wn = _centered_hann_np(n_fft, win_length)[off : off + span][None, :]
     A = (c * np.cos(ang) * wn / n_fft).astype(np.float32)
     B = (-c * np.sin(ang) * wn / n_fft).astype(np.float32)
     return A, B
@@ -307,13 +322,7 @@ def istft_reim(re: jnp.ndarray, im: jnp.ndarray, *, n_fft: int, hop: int,
         acc = acc.at[:, k : k + T, lo - k * hop : hi - k * hop].add(chunk)
     sig = acc.reshape(B, rows * hop)[:, :expected]
 
-    wnp = np.zeros(n_fft)
-    j = np.arange(win_length, dtype=np.float64)
-    wnp[off : off + win_length] = 0.5 - 0.5 * np.cos(2.0 * np.pi * j / win_length)
-    env_np = np.zeros(expected)
-    for t in range(T):
-        env_np[t * hop : t * hop + n_fft] += wnp**2
-    env = jnp.asarray(env_np, frames.dtype)
+    env = jnp.asarray(_static_ola_envelope(n_fft, hop, win_length, T), frames.dtype)
 
     half = n_fft // 2
     sig = sig[:, half : expected - half] / jnp.maximum(env[half : expected - half], 1e-11)
@@ -368,14 +377,7 @@ def istft(y: jnp.ndarray, *, n_fft: int, hop: int, win_length: int, length: int 
 
     # squared-window envelope via the same OLA
     if isinstance(win_length, int):  # static window: compile-time constant
-        wnp = np.zeros(n_fft)
-        left = (n_fft - win_length) // 2
-        k = np.arange(win_length, dtype=np.float64)
-        wnp[left : left + win_length] = 0.5 - 0.5 * np.cos(2.0 * np.pi * k / win_length)
-        env_np = np.zeros(expected)
-        for t in range(T):
-            env_np[t * hop : t * hop + n_fft] += wnp**2
-        env = jnp.asarray(env_np, frames.dtype)
+        env = jnp.asarray(_static_ola_envelope(n_fft, hop, win_length, T), frames.dtype)
     else:  # traced window: shifted-slice OLA on device
         acc_e = jnp.zeros((rows, hop), frames.dtype)
         w2 = jnp.broadcast_to((window**2)[None, :], (T, n_fft))

@@ -88,14 +88,14 @@ def load_checkpoint(path):
     return out
 
 
-def load_subtree(path, subtree_key):
+def load_subtree(path, subtree_key, _ckpt=None):
     """Load one top-level module's params from a checkpoint — the TPU
     equivalent of the reference's pretrained_asr/emb/tts prefix-rewritten
     partial ``load_state_dict`` (`src/vqvae.py:71-90`).
 
     ``subtree_key``: e.g. 'asr', 'codebook', 'tts/decoder'.
     """
-    ckpt = load_checkpoint(path)
+    ckpt = _ckpt if _ckpt is not None else load_checkpoint(path)
     node = ckpt["model"]
     for part in subtree_key.split("/"):
         if part not in node:
@@ -108,12 +108,16 @@ def apply_pretrained(params, pretrained: dict):
     """Graft pretrained subtrees into freshly-initialized params.
 
     ``pretrained``: mapping subtree_key -> checkpoint path (empty/None values
-    skipped, as the reference treats '' as disabled).
+    skipped, as the reference treats '' as disabled). Each distinct file is
+    loaded once even when several keys graft from it (decoder + postnet).
     """
+    loaded = {}
     for key, path in (pretrained or {}).items():
         if not path:
             continue
-        sub = load_subtree(path, key)
+        if path not in loaded:
+            loaded[path] = load_checkpoint(path)
+        sub = load_subtree(path, key, _ckpt=loaded[path])
         node = params
         parts = key.split("/")
         for p in parts[:-1]:

@@ -94,7 +94,8 @@ class StepBuilder:
     # ---------------- shared pieces ----------------
 
     def _features(self, rng, waves, wave_len, *, need_aug=True):
-        mel, linear, flen = self.feat.featurize(self._c(waves), wave_len)
+        waves = self._c(waves)
+        mel, linear, flen = self.feat.featurize(waves, wave_len)
         mel = self._c(_pad_frames(mel, self.r))
         linear = self._c(_pad_frames(linear, self.r))
         if not need_aug:

@@ -30,45 +30,34 @@ import optax
 
 from ..models import vqvae as V
 from ..models.lm import audiolm_apply, audiolm_init, textlm_init, textlm_loss
-from ..train.checkpoint import save_checkpoint
+from ..train.checkpoint import load_checkpoint, save_checkpoint
 from ..train.losses import freq_loss
 from ..train.optim import make_optimizer
-from ..train.solver import BaseSolver
 from ..train.steps import _pad_frames
+from ..train.train_vqvae import VqvaeTrainer
 from ..utils.metrics import human_format, read_phn_attr
 
 
-class LmTrainer(BaseSolver):
-    """Shared lifecycle for the two pretraining modes."""
+class LmTrainer(VqvaeTrainer):
+    """Shared lifecycle for the two pretraining modes (data plumbing is
+    inherited from the VQVAE trainer; model/step/ckpt layers are LM-specific)."""
 
     lm_mode = "speech"  # overridden by subclasses
 
     def __init__(self, config, paras, mode):
         super().__init__(config, paras, mode)
-        self.step = 0
         self.best_dev = float("inf")
+        self._last_valid_step = -1
 
     # ------------------------------------------------ data
     def load_data(self):
-        from ..data import load_dataset
+        super().load_data()
         from ..data.loader import infinite
 
-        (self.unpair_set, self.pair_set, self.dev_set, self.test_set,
-         self.featurizer, self.tokenizer, data_msg) = load_dataset(
-            self.paras.njobs, self.paras.gpu, self.paras.pin_memory,
-            seed=self.paras.seed, **self.config["data"])
         # pretraining consumes the *unpaired* stream (untranscribed speech /
         # text-only); fall back to the paired stream when it is empty
         train_set = self.unpair_set if len(self.unpair_set) else self.pair_set
         self.train_iter = infinite(train_set)
-        self.n_mels = self.config["data"]["audio"]["num_mels"]
-        self.linear_dim = (self.config["data"]["audio"]["num_freq"]
-                           if self.config["data"]["audio"]["use_linear"] else None)
-        self.vocab_size = self.tokenizer.vocab_size
-        import json
-
-        self.n_spkr = len(json.load(open(self.config["data"]["corpus"]["spkr_map"])))
-        self.verbose(data_msg)
 
     # ------------------------------------------------ model
     def set_model(self):
@@ -150,6 +139,20 @@ class LmTrainer(BaseSolver):
 
         self._step, self._dev_step = step, dev_step
 
+        if self.paras.load:  # resume an interrupted pretraining run
+            import jax.numpy as jnp_
+
+            ckpt = load_checkpoint(self.paras.load)
+            sub = ckpt["model"]["tts" if self.lm_mode == "speech" else "textlm"]
+            self.lm_params = jax.tree_util.tree_map(jnp_.asarray, sub)
+            self.lm_state = jax.tree_util.tree_map(jnp_.asarray, ckpt["state"])
+            self.opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.tx.init(self.lm_params)),
+                [jnp_.asarray(l) for l in jax.tree_util.tree_leaves(ckpt["optimizer"])])
+            self.step = ckpt["global_step"]
+            self.verbose("Load {} LM ckpt from {}, restarting at step {}".format(
+                self.lm_mode, self.paras.load, self.step))
+
     # ------------------------------------------------ loop
     def _batch_args(self, batch):
         if self.lm_mode == "speech":
@@ -178,9 +181,11 @@ class LmTrainer(BaseSolver):
             if self.step == 1 or self.step % self.valid_step == 0:
                 self.validate()
             self.timer.set()
-        self.validate()  # final: guarantees a checkpoint exists
+        if self._last_valid_step != self.step:
+            self.validate()  # final: guarantees a checkpoint exists
 
     def validate(self):
+        self._last_valid_step = self.step
         losses = []
         for i, batch in enumerate(self.dev_set):
             losses.append(float(self._dev_step(

@@ -151,7 +151,9 @@ class VqvaeTrainer(BaseSolver):
         from ..utils.timer import profile_trace
 
         prof = contextlib.ExitStack()
-        prof_start = min(40, max(1, self.max_step // 2))
+        # anchored to the *starting* step so --profile works on resumed runs
+        start0 = self.step
+        prof_start = start0 + min(40, max(1, (self.max_step - start0) // 2))
         prof_end = min(self.max_step, prof_start + 20)
         cnter = {"ctc_nan": 0, "unp_sph": 0, "unp_txt": 0}
         tok_usage, gt_usage = [], []
@@ -189,14 +191,15 @@ class VqvaeTrainer(BaseSolver):
                 ub = next(self.unpair_iter)
                 self.params, self.state, self.opt_state, mets = self._speech_first_step(
                     *args, ub.waves, ub.wave_len, ub.text, ub.sid)
-                pending.append((mets["unpair_ok"], mets["unpair_pred"], ub.text, None))
+                pending.append((mets["unpair_ok"], mets["unpair_pred"], ub.text,
+                                None, mets["unpair_pred_len"]))
                 unsup_align = mets["unpair_align"]
             elif (not speech_first) and use_unpair_text:
                 ub = next(self.unpair_iter)
                 cnter["unp_txt"] += 1
                 self.params, self.state, self.opt_state, mets = self._text_first_step(
                     *args, ub.waves, ub.wave_len, ub.text, ub.sid)
-                pending.append((None, None, None, mets["ctc_nan"]))
+                pending.append((None, None, None, mets["ctc_nan"], None))
             else:
                 self.params, self.state, self.opt_state, mets = self._paired_step(*args)
 
@@ -206,11 +209,16 @@ class VqvaeTrainer(BaseSolver):
 
             if self.step == 1 or self.step % self._PROGRESS_STEP == 0:
                 # drain buffered per-step flags in one transfer
-                fetched = jax.device_get([(o, p, n) for o, p, _, n in pending])
-                for (ok, pred, nan), (_, _, utext, _) in zip(fetched, pending):
+                fetched = jax.device_get([(o, p, n, pl) for o, p, _, n, pl in pending])
+                for (ok, pred, nan, plen), (_, _, utext, _, _) in zip(fetched, pending):
                     if ok is not None and bool(ok):
                         cnter["unp_sph"] += 1
-                        tok_usage += np.asarray(pred).flatten().tolist()
+                        # token usage over true encoder lengths only (bucket
+                        # pads would over-count whatever the encoder emits on
+                        # pad frames — same trim as the PER fix)
+                        pred = np.asarray(pred)
+                        for b in range(pred.shape[0]):
+                            tok_usage += pred[b, : int(plen[b])].tolist()
                         gt_usage += np.asarray(utext).flatten().tolist()
                     if nan is not None and bool(nan):
                         cnter["ctc_nan"] += 1
