@@ -51,6 +51,9 @@ parser.add_argument("--pretrain-text", action="store_true",
                     help="Pretrain the text LM (codebook init; emits best_acc.pth).")
 parser.add_argument("--profile", action="store_true",
                     help="Capture a jax.profiler trace of a window of train steps into logdir.")
+parser.add_argument("--mesh", default="", type=str,
+                    help="Train over a DATAxMODEL device mesh, e.g. 4x2 "
+                         "(data-parallel x tensor-parallel). Default: single device.")
 paras = parser.parse_args()
 setattr(paras, "gpu", not paras.cpu)
 setattr(paras, "pin_memory", not paras.no_pin)  # (reference inverted this — known bug not copied)

@@ -41,9 +41,17 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch_tree, mesh: Mesh):
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, s) if hasattr(x, "ndim") and x.ndim >= 1 else x,
-        batch_tree)
+
+    def put(x):
+        return (jax.device_put(x, s)
+                if isinstance(x, (np.ndarray, jax.Array)) and x.ndim >= 1 else x)
+
+    if isinstance(batch_tree, dict) and type(batch_tree) is not dict:
+        # dict subclasses (e.g. the loader's Batch) are jax pytree *leaves*;
+        # shard their values and rebuild the same type
+        return type(batch_tree)(
+            {k: jax.tree_util.tree_map(put, v) for k, v in batch_tree.items()})
+    return jax.tree_util.tree_map(put, batch_tree)
 
 
 def shard_params(params, mesh: Mesh, specs=None):

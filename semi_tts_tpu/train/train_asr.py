@@ -55,7 +55,7 @@ class AsrTrainer(VqvaeTrainer):
         self.verbose(["Total training steps {} (ASR only).".format(human_format(self.max_step))])
         self.timer.set()
         while self.step < self.max_step:
-            batch = next(self.pair_iter)
+            batch = self._shard(next(self.pair_iter))
             self.timer.cnt("rd")
             self.params, self.state, self.opt_state, mets = self._asr_step(
                 self.params, self.state, self.opt_state, self.rng, self.step,
@@ -74,6 +74,7 @@ class AsrTrainer(VqvaeTrainer):
     def validate_asr(self):
         pers = []
         for i, batch in enumerate(self.dev_set):
+            batch = self._shard(batch)
             out = self._eval_step(self.params, self.state, self.rng,
                                   self.step * 100003 + i,
                                   batch.waves, batch.wave_len, batch.text, batch.sid)

@@ -91,6 +91,14 @@ class LmTrainer(VqvaeTrainer):
             self.lm_state = {}
             self.verbose(f"TextLM pretraining: codebook table "
                          f"({self.vocab_size} x {self.model_cfg.codebook.learn_dim})")
+        # --mesh: pure data parallelism for pretraining (params replicated,
+        # batches sharded on 'data'; the LMs are small)
+        self.mesh = self._make_mesh()
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.lm_params = replicate(self.lm_params, self.mesh)
+            self.lm_state = replicate(self.lm_state, self.mesh)
         self.opt_state = self.tx.init(self.lm_params)
 
         feat, dec_cfg, r = self.featurizer, getattr(self, "dec_cfg", None), \
@@ -149,6 +157,12 @@ class LmTrainer(VqvaeTrainer):
             self.opt_state = jax.tree_util.tree_unflatten(
                 jax.tree_util.tree_structure(self.tx.init(self.lm_params)),
                 [jnp_.asarray(l) for l in jax.tree_util.tree_leaves(ckpt["optimizer"])])
+            if self.mesh is not None:
+                from ..parallel.mesh import replicate
+
+                self.lm_params = replicate(self.lm_params, self.mesh)
+                self.lm_state = replicate(self.lm_state, self.mesh)
+                self.opt_state = replicate(self.opt_state, self.mesh)
             self.step = ckpt["global_step"]
             self.verbose("Load {} LM ckpt from {}, restarting at step {}".format(
                 self.lm_mode, self.paras.load, self.step))
@@ -166,7 +180,7 @@ class LmTrainer(VqvaeTrainer):
         self.timer.set()
         total = jnp.float32(0)
         while self.step < self.max_step:
-            batch = next(self.train_iter)
+            batch = self._shard(next(self.train_iter))
             self.timer.cnt("rd")
             self.lm_params, self.lm_state, self.opt_state, total = self._step(
                 self.lm_params, self.lm_state, self.opt_state, self.rng,
@@ -188,6 +202,7 @@ class LmTrainer(VqvaeTrainer):
         self._last_valid_step = self.step
         losses = []
         for i, batch in enumerate(self.dev_set):
+            batch = self._shard(batch)
             losses.append(float(self._dev_step(
                 self.lm_params, self.lm_state, self.rng,
                 self.step * 100003 + i, *self._batch_args(batch))))

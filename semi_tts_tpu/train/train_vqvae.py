@@ -61,6 +61,36 @@ class VqvaeTrainer(BaseSolver):
         self.n_spkr = len(json.load(open(self.config["data"]["corpus"]["spkr_map"])))
         self.verbose(data_msg)
 
+    # ------------------------------------------------ mesh
+    def _make_mesh(self):
+        """('data','model') mesh from --mesh DxM; None = single device."""
+        spec = getattr(self.paras, "mesh", "") or ""
+        if not spec:
+            return None
+        from ..parallel.mesh import make_mesh
+
+        try:
+            d, m = (int(v) for v in spec.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f"--mesh must look like 4x2 (data x model), got {spec!r}")
+        n = d * m
+        have = len(jax.devices())
+        if n > have:
+            raise SystemExit(f"--mesh {spec} needs {n} devices, only {have} visible "
+                             "(for CPU testing set XLA_FLAGS="
+                             "--xla_force_host_platform_device_count=N)")
+        mesh = make_mesh(n, model_parallel=m)
+        self.verbose(f"Device mesh: data={d} x model={m} over {n} devices")
+        return mesh
+
+    def _shard(self, batch):
+        """Place a host batch with its leading axis over the 'data' mesh axis."""
+        if self.mesh is None:
+            return batch
+        from ..parallel.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
     # ------------------------------------------------ model
     def set_model(self):
         model_cfg = dict(self.config["model"])
@@ -90,6 +120,13 @@ class VqvaeTrainer(BaseSolver):
             None if self.phn_attr is None else jax.numpy.asarray(self.phn_attr))
         self.params = apply_pretrained(self.params, pretrained)
 
+        self.mesh = self._make_mesh()
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate, shard_params
+
+            self.params = shard_params(self.params, self.mesh)
+            self.state = replicate(self.state, self.mesh)
+
         h = self.config["hparas"]
         self.tx, self.lr_fn = make_optimizer(h["optimizer"], h["lr"], h["lr_scheduler"])
         self.opt_state = self.tx.init(self.params)
@@ -116,7 +153,8 @@ class VqvaeTrainer(BaseSolver):
                 n_mels=self.n_mels, loss=h["freq_loss_type"],
                 differential_loss=h["differential_loss"],
                 emphasize_linear_low=h["emphasize_linear_low"]),
-            actual_len=getattr(self.paras, "actual_len", False))
+            actual_len=getattr(self.paras, "actual_len", False),
+            mesh=self.mesh)
         self._paired_step = self.builder.make_paired_step()
         self._speech_first_step = self.builder.make_speech_first_step()
         self._text_first_step = self.builder.make_text_first_step()
@@ -127,10 +165,22 @@ class VqvaeTrainer(BaseSolver):
             ckpt = load_checkpoint(self.paras.load)
             self.params = jax.tree_util.tree_map(jax.numpy.asarray, ckpt["model"])
             self.state = jax.tree_util.tree_map(jax.numpy.asarray, ckpt["state"])
-            self.opt_state = jax.tree_util.tree_map(jax.numpy.asarray, ckpt["optimizer"])
+            if self.mesh is not None:  # restore the mesh placement after load
+                from ..parallel.mesh import replicate, shard_params
+
+                self.params = shard_params(self.params, self.mesh)
+                self.state = replicate(self.state, self.mesh)
+            # optimizer state: unflatten into tx's structure; tx.init on the
+            # (possibly sharded) params doubles as the sharding template
+            template = self.tx.init(self.params)
             self.opt_state = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(self.tx.init(self.params)),
-                jax.tree_util.tree_leaves(self.opt_state))
+                jax.tree_util.tree_structure(template),
+                jax.tree_util.tree_leaves(
+                    jax.tree_util.tree_map(jax.numpy.asarray, ckpt["optimizer"])))
+            if self.mesh is not None:
+                self.opt_state = jax.tree_util.tree_map(
+                    lambda t, v: jax.device_put(v, t.sharding)
+                    if hasattr(t, "sharding") else v, template, self.opt_state)
             self.step = ckpt["global_step"]
             self.verbose("Load ckpt from {}, restarting at step {}".format(
                 self.paras.load, self.step))
@@ -179,7 +229,7 @@ class VqvaeTrainer(BaseSolver):
             use_unpair_speech = (self.unpair_speech_weight > 0
                                  and self.step > self.unpair_speech_start_step)
             tf_rate = self.tf_rate(self.step)
-            batch = next(self.pair_iter)
+            batch = self._shard(next(self.pair_iter))
             speech_first = self.step % 2 == 0
             self.timer.cnt("rd")
 
@@ -188,14 +238,14 @@ class VqvaeTrainer(BaseSolver):
             args = (self.params, self.state, self.opt_state, self.rng,
                     self.step, tf_rate, batch.waves, batch.wave_len, batch.text, batch.sid)
             if speech_first and use_unpair_speech:
-                ub = next(self.unpair_iter)
+                ub = self._shard(next(self.unpair_iter))
                 self.params, self.state, self.opt_state, mets = self._speech_first_step(
                     *args, ub.waves, ub.wave_len, ub.text, ub.sid)
                 pending.append((mets["unpair_ok"], mets["unpair_pred"], ub.text,
                                 None, mets["unpair_pred_len"]))
                 unsup_align = mets["unpair_align"]
             elif (not speech_first) and use_unpair_text:
-                ub = next(self.unpair_iter)
+                ub = self._shard(next(self.unpair_iter))
                 cnter["unp_txt"] += 1
                 self.params, self.state, self.opt_state, mets = self._text_first_step(
                     *args, ub.waves, ub.wave_len, ub.text, ub.sid)
@@ -293,6 +343,7 @@ class VqvaeTrainer(BaseSolver):
         mel_p = linear_p = align_p = hyp = sample_txt = None
         n_batches = len(self.dev_set)
         for i, batch in enumerate(self.dev_set):
+            batch = self._shard(batch)
             self.progress("Valid step - {}/{}".format(i + 1, n_batches))
             out = self._eval_step(self.params, self.state, self.rng,
                                   self.step * 100003 + i,

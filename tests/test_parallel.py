@@ -1,6 +1,8 @@
 """Mesh + explicit sharding specs on the virtual 8-device CPU mesh, including
 the DP4xTP2 == single-device numerical-equality gate on a full train step."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,6 +106,31 @@ def test_dp_tp_step_matches_single_device(small_model):
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-5)
+
+
+def test_trainer_mesh_e2e(tmp_path):
+    """--mesh DxM drives the real trainer: params sharded by the explicit
+    specs, batches on 'data', train + validation + checkpoint run."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from helpers import make_paras, tiny_config
+
+    root = str(tmp_path)
+    cfg = tiny_config(root, bone="seperate", unpair_speech=10.0, max_step=3,
+                      valid_step=2)
+    from semi_tts_tpu.train.train_vqvae import VqvaeTrainer
+
+    paras = make_paras(root)
+    paras.mesh = "2x2"
+    solver = VqvaeTrainer(cfg, paras, "train")
+    solver.load_data()
+    solver.set_model()
+    assert dict(solver.mesh.shape) == {"data": 2, "model": 2}
+    solver.exec()
+    assert solver.step >= 3
+    leaves = jax.tree_util.tree_leaves(solver.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
 def test_replicate():
