@@ -63,3 +63,51 @@ def test_gen_wav_cli(tmp_path):
     assert wavs == ["a.wav", "b.wav", "c.wav"]
     w, sr = wavio.read(out_dir / "a.wav")
     assert sr == 22050 and np.isfinite(w).all() and w.shape[1] > 1000
+
+
+def test_g2p_tools_to_tokenizer_chain(tmp_path):
+    """g2p tool -> map table -> PhoneTextEncoder.file_to_seq, end to end,
+    with a deterministic stub g2p backend (the real g2p_en is an offline
+    dependency; everything downstream of it is exercised here)."""
+    import json
+    from argparse import Namespace
+    from os.path import join
+
+    import g2p_lj
+    import g2p_vctk
+
+    def stub_g2p(text):  # words -> fake CMU tokens with stress digits
+        out = []
+        for w in text.split():
+            out += ["HH", "AH0", "L OW1".split()[0]][: 1 + len(w) % 2]
+            out.append(" ")
+        out.append(".")
+        return out
+
+    src = str(tmp_path / "metadata.csv")
+    with open(src, "w") as f:
+        f.write("LJ001-0001|x|Printing, in the only sense.\n")
+        f.write("LJ001-0002|x|Hello world\n")
+    out = str(tmp_path / "lj_table.csv")
+    g2p_lj.run(Namespace(src=src, out=out, no_punc=False), g2p=stub_g2p)
+
+    from semi_tts_tpu.data.text import load_text_encoder
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    enc = load_text_encoder("phoneme", join(REPO, "data/cmu_phn.vocab"), map_table=out)
+    seq = enc.file_to_seq("LJ001-0001.wav")
+    assert len(seq) > 2 and seq[-1] == 0  # trailing <pad>
+    assert all(0 <= t < enc.vocab_size for t in seq)
+
+    # vctk variant also emits the speaker-id json
+    src2 = str(tmp_path / "vctk.txt")
+    with open(src2, "w") as f:
+        f.write("p225_001|p225|Please call Stella\n")
+        f.write("p226_001|p226|Ask her to bring\n")
+    out2 = str(tmp_path / "vctk_table.csv")
+    spkr_json = str(tmp_path / "spkr.json")
+    g2p_vctk.run(Namespace(src=src2, out=out2, out_spkr_dict=spkr_json,
+                           no_punc=True), g2p=stub_g2p)
+    enc2 = load_text_encoder("phoneme", join(REPO, "data/cmu_phn.vocab"), map_table=out2)
+    assert len(enc2.file_to_seq("p226_001.wav")) > 1
+    assert json.load(open(spkr_json)) == {"p225": 0, "p226": 1}

@@ -10,8 +10,9 @@ import argparse
 from g2p_common import SEP, clean_line, load_g2p, reduce_phonemes
 
 
-def run(args):
-    g2p = load_g2p()
+def run(args, g2p=None):
+    # tests inject a stub g2p; the real backend needs g2p_en/nltk (offline)
+    g2p = g2p or load_g2p()
     full_set = set()
     with open(args.src, "r") as f:
         f_lines = f.readlines()

@@ -14,8 +14,9 @@ from os.path import dirname
 from g2p_common import SEP, clean_line, load_g2p, reduce_phonemes
 
 
-def run(args):
-    g2p = load_g2p()
+def run(args, g2p=None):
+    # tests inject a stub g2p; the real backend needs g2p_en/nltk (offline)
+    g2p = g2p or load_g2p()
     full_set = set()
     spkr_dict = {}
     with open(args.src, "r") as f:
