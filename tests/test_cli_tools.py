@@ -111,3 +111,41 @@ def test_g2p_tools_to_tokenizer_chain(tmp_path):
     enc2 = load_text_encoder("phoneme", join(REPO, "data/cmu_phn.vocab"), map_table=out2)
     assert len(enc2.file_to_seq("p226_001.wav")) > 1
     assert json.load(open(spkr_json)) == {"p225": 0, "p226": 1}
+
+
+def test_g2p_rule_fallback_offline_chain(tmp_path):
+    """The built-in RuleG2p fallback (--fallback-rules) generates a usable
+    map table with NO external G2P dependency: every emitted phone reduces
+    into the 39-phone set and the table feeds the tokenizer."""
+    from argparse import Namespace
+    from os.path import join
+
+    import g2p_lj
+    from g2p_common import (PHONEME_REDUCE_MAPPING, RuleG2p, load_g2p,
+                            reduce_phonemes)
+
+    g2p = load_g2p(fallback_rules=True)  # g2p_en absent in this env
+    assert isinstance(g2p, RuleG2p)
+
+    # totality: arbitrary text never raises and always reduces
+    for text in ("The quick brown fox jumps over the lazy dog.",
+                 "Knights wrought 12 pounds, though!",
+                 "zyzzyva qat's edge"):
+        red = reduce_phonemes(g2p(text))
+        assert all(r == "" or r in PHONEME_REDUCE_MAPPING.values() for r in red)
+
+    src = str(tmp_path / "metadata.csv")
+    with open(src, "w") as f:
+        f.write("LJ001-0001|x|Printing, in the only sense.\n")
+        f.write("LJ001-0002|x|Hello world.\n")
+    out = str(tmp_path / "lj_table.csv")
+    g2p_lj.run(Namespace(src=src, out=out, no_punc=False, fallback_rules=True))
+
+    from semi_tts_tpu.data.text import load_text_encoder
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    enc = load_text_encoder("phoneme", join(REPO, "data/cmu_phn.vocab"), map_table=out)
+    for fid in ("LJ001-0001.wav", "LJ001-0002.wav"):
+        seq = enc.file_to_seq(fid)
+        assert len(seq) > 4 and seq[-1] == 0
+        assert all(0 <= t < enc.vocab_size for t in seq)

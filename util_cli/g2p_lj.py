@@ -12,7 +12,7 @@ from g2p_common import SEP, clean_line, load_g2p, reduce_phonemes
 
 def run(args, g2p=None):
     # tests inject a stub g2p; the real backend needs g2p_en/nltk (offline)
-    g2p = g2p or load_g2p()
+    g2p = g2p or load_g2p(getattr(args, 'fallback_rules', False))
     full_set = set()
     with open(args.src, "r") as f:
         f_lines = f.readlines()
@@ -35,4 +35,7 @@ if __name__ == "__main__":
                         help="Path to source text file. (format like metadata.csv of LJSpeech)")
     parser.add_argument("--out", required=True, type=str, help="Path to output text file.")
     parser.add_argument("--no-punc", action="store_true", help="Preserve no punctuation.")
+    parser.add_argument("--fallback-rules", action="store_true",
+                        help="Use the approximate built-in letter-to-sound rules "
+                             "when g2p_en/nltk are unavailable (offline).")
     run(parser.parse_args())

@@ -16,7 +16,7 @@ from g2p_common import SEP, clean_line, load_g2p, reduce_phonemes
 
 def run(args, g2p=None):
     # tests inject a stub g2p; the real backend needs g2p_en/nltk (offline)
-    g2p = g2p or load_g2p()
+    g2p = g2p or load_g2p(getattr(args, 'fallback_rules', False))
     full_set = set()
     spkr_dict = {}
     with open(args.src, "r") as f:
@@ -47,4 +47,7 @@ if __name__ == "__main__":
     parser.add_argument("--out-spkr-dict", type=str, default="corpus_meta/spkr/vctk.json",
                         help="Path of json object for speaker dictionary.")
     parser.add_argument("--no-punc", action="store_true", help="Preserve no punctuation.")
+    parser.add_argument("--fallback-rules", action="store_true",
+                        help="Use the approximate built-in letter-to-sound rules "
+                             "when g2p_en/nltk are unavailable (offline).")
     run(parser.parse_args())
