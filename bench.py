@@ -13,7 +13,9 @@ math with torch on this host's CPU and compare mel-frames/sec.
 
 Timing methodology (axon tunnel): N iterations chained inside ONE jitted
 fori_loop, a single scalar float() readback (block_until_ready does not
-reliably flush the remote queue). MFU = analytic dot/conv FLOPs
+reliably flush the remote queue). The readback itself costs ~10 ms of
+tunnel latency, so N must be large enough to amortize it (profiler-checked:
+at N=3 the AR-decoder figure under-reported device throughput ~2x). MFU = analytic dot/conv FLOPs
 (`utils.flops.matmul_flops`, scan-aware — XLA's own cost_analysis counts
 loop bodies once) / time / bf16 peak. These are *useful* FLOPs: dots at
 HIGH (bf16x3) precision execute 3 hardware passes per counted dot, so
@@ -115,7 +117,7 @@ def _bench_cpu_reference(waves, lengths, n_files=8):
     return best
 
 
-def _bench_decoder(iters=3):
+def _bench_decoder(iters=12):
     """AR decoder mel-frames/sec/chip on the full-size Tacotron2 stack."""
     import jax
     import jax.numpy as jnp
@@ -161,7 +163,7 @@ def _bench_decoder(iters=3):
     return (B * decode_steps * cfg.n_frames_per_step) / dt, mfu
 
 
-def _bench_train_steps(iters=3):
+def _bench_train_steps(iters=6):
     """Full-size semi-supervised train-step wall times (paired /
     speech-first / text-first cycles, B=8 paired + B=8 unpaired, 6 s waves) —
     the TPU counterpart of the reference's only perf instrument, the
@@ -221,7 +223,7 @@ def _bench_train_steps(iters=3):
     return out, mfu_paired
 
 
-def _bench_griffin_lim(iters=3):
+def _bench_griffin_lim(iters=8):
     """Batched Griffin-Lim vocoder throughput (B=16 utterances of ~7.5 s,
     30 iterations — `src/audio.py:179-226`)."""
     import jax
