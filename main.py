@@ -54,6 +54,13 @@ parser.add_argument("--profile", action="store_true",
 parser.add_argument("--mesh", default="", type=str,
                     help="Train over a DATAxMODEL device mesh, e.g. 4x2 "
                          "(data-parallel x tensor-parallel). Default: single device.")
+parser.add_argument("--matmul-precision", default="default",
+                    choices=["default", "high", "highest"],
+                    help="Global precision for model matmuls/convs on TPU: "
+                         "'default' = bf16 compute with fp32 params/grads "
+                         "(standard TPU mixed precision), 'high' = bf16x3, "
+                         "'highest' = full fp32 for strict-parity runs. The "
+                         "DSP featurizer has its own knob (audio.dft_precision).")
 paras = parser.parse_args()
 setattr(paras, "gpu", not paras.cpu)
 setattr(paras, "pin_memory", not paras.no_pin)  # (reference inverted this — known bug not copied)
@@ -72,6 +79,11 @@ if paras.cpu:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+if paras.matmul_precision != "default":
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", paras.matmul_precision)
 
 if paras.asr_decode:
     mode = "test"
