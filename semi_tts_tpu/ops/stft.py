@@ -107,17 +107,47 @@ def frame_signal(x_padded: jnp.ndarray, n_fft: int, hop, num_frames: int,
     nominal ``n_fft`` frame (the window's nonzero region). Default: whole
     frames.
 
-    Uses per-frame contiguous ``dynamic_slice`` (XLA gather with
-    ``slice_sizes=(span,)``) rather than a materialized (T, span) index
+    Static ``hop`` takes the reshape fast path (`frame_signal_static`).
+    Traced ``hop`` uses per-frame contiguous ``dynamic_slice`` (XLA gather
+    with ``slice_sizes=(span,)``) rather than a materialized (T, span) index
     gather — the latter is an element-wise gather and ~50x slower on TPU.
     """
     offset, span = support if support is not None else (0, n_fft)
+    if isinstance(hop, int):
+        return frame_signal_static(x_padded, hop, num_frames, support=(offset, span))
     starts = jnp.arange(num_frames, dtype=jnp.int32) * jnp.asarray(hop, jnp.int32) + offset
 
     def row(xp):
         return jax.vmap(lambda s: jax.lax.dynamic_slice(xp, (s,), (span,)))(starts)
 
     return jax.vmap(row)(x_padded)
+
+
+def frame_signal_static(x_padded: jnp.ndarray, hop: int, num_frames: int,
+                        *, support: tuple) -> jnp.ndarray:
+    """Framing at STATIC hop as K shifted reshapes + one concat.
+
+    With ``xpr = x_padded[:, off:]`` viewed as rows of ``hop`` samples,
+    frame ``t``'s k-th hop-chunk is row ``t + k`` — so the whole (B, T,
+    span) frames tensor is a concat of K = ceil(span/hop) static row-slices
+    of one reshape. No gather and no per-frame loop: the per-frame
+    ``dynamic_slice`` form lowers to a sequential while loop on TPU
+    (~1.7 us/frame of loop overhead — 30 ms across a 30-iteration
+    Griffin-Lim of 600-frame utterances); this is a handful of fused copies.
+    """
+    off, span = support
+    B = x_padded.shape[0]
+    K = -(-span // hop)
+    rows = num_frames - 1 + K
+    need = off + rows * hop
+    if x_padded.shape[1] < need:
+        x_padded = jnp.pad(x_padded, ((0, 0), (0, need - x_padded.shape[1])))
+    xpr = x_padded[:, off : off + rows * hop].reshape(B, rows, hop)
+    parts = []
+    for k in range(K):
+        w = min(hop, span - k * hop)
+        parts.append(xpr[:, k : k + num_frames, :w])
+    return jnp.concatenate(parts, axis=-1)
 
 
 @lru_cache(maxsize=4)
@@ -309,7 +339,10 @@ def istft_reim(re: jnp.ndarray, im: jnp.ndarray, *, n_fft: int, hop: int,
     B = flat.shape[0]
 
     # OLA: out[q*hop + r] = sum_k frames[q - k, k*hop + r - off] restricted to
-    # the support — shifted-slice adds over a (B, T+K-1, hop) accumulator
+    # the support — a sum of K statically-padded chunk tensors over a
+    # (B, T+K-1, hop) grid. (`.at[slice].add` compiles to a real XLA
+    # scatter-add even with static indices — measured ~11 ms across a
+    # 30-iteration Griffin-Lim; `jnp.pad`+add fuses into one pass.)
     K = -(-(off + span) // hop)
     rows = T + K - 1
     acc = jnp.zeros((B, rows, hop), frames.dtype)
@@ -319,7 +352,8 @@ def istft_reim(re: jnp.ndarray, im: jnp.ndarray, *, n_fft: int, hop: int,
         if hi <= lo:
             continue
         chunk = flat[:, :, lo - off : hi - off]
-        acc = acc.at[:, k : k + T, lo - k * hop : hi - k * hop].add(chunk)
+        acc = acc + jnp.pad(chunk, ((0, 0), (k, rows - T - k),
+                                    (lo - k * hop, (k + 1) * hop - hi)))
     sig = acc.reshape(B, rows * hop)[:, :expected]
 
     env = jnp.asarray(_static_ola_envelope(n_fft, hop, win_length, T), frames.dtype)
@@ -363,27 +397,29 @@ def istft(y: jnp.ndarray, *, n_fft: int, hop: int, win_length: int, length: int 
     flat = frames.reshape((-1, T, n_fft))
     B = flat.shape[0]
 
-    # Overlap-add WITHOUT scatter (XLA TPU scatter runs ~10 GB/s): write
-    # out[q*hop + r] = sum_k frames[q - k, k*hop + r] as K shifted-slice adds
-    # over an (B, T+K-1, hop) accumulator — pure static slicing.
+    # Overlap-add WITHOUT scatter: out[q*hop + r] = sum_k frames[q - k,
+    # k*hop + r] as a sum of K statically-padded chunk tensors over a
+    # (B, T+K-1, hop) grid (`.at[slice].add` compiles to a real scatter-add
+    # even with static indices; `jnp.pad`+add fuses).
     K = -(-n_fft // hop)  # ceil
     rows = T + K - 1
     acc = jnp.zeros((B, rows, hop), frames.dtype)
     for k in range(K):
         w_k = min((k + 1) * hop, n_fft) - k * hop
         chunk = flat[:, :, k * hop : k * hop + w_k]                  # (B, T, w_k)
-        acc = acc.at[:, k : k + T, :w_k].add(chunk)                  # static slice update
+        acc = acc + jnp.pad(chunk, ((0, 0), (k, rows - T - k), (0, hop - w_k)))
     sig = acc.reshape(B, rows * hop)[:, :expected]
 
     # squared-window envelope via the same OLA
     if isinstance(win_length, int):  # static window: compile-time constant
         env = jnp.asarray(_static_ola_envelope(n_fft, hop, win_length, T), frames.dtype)
-    else:  # traced window: shifted-slice OLA on device
+    else:  # traced window: padded-add OLA on device
         acc_e = jnp.zeros((rows, hop), frames.dtype)
         w2 = jnp.broadcast_to((window**2)[None, :], (T, n_fft))
         for k in range(K):
             w_k = min((k + 1) * hop, n_fft) - k * hop
-            acc_e = acc_e.at[k : k + T, :w_k].add(w2[:, k * hop : k * hop + w_k])
+            acc_e = acc_e + jnp.pad(w2[:, k * hop : k * hop + w_k],
+                                    ((k, rows - T - k), (0, hop - w_k)))
         env = acc_e.reshape(rows * hop)[:expected]
 
     half = n_fft // 2
