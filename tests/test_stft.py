@@ -135,3 +135,28 @@ def test_istft_reim_matches_istft():
 
 def test_nola_positive():
     assert S.nola_check(N_FFT, HOP, WIN) > 1e-11
+
+
+def test_frame_signal_static_matches_dynamic():
+    """The shifted-reshape framing (static hop) must equal the per-frame
+    dynamic_slice form at awkward geometries: span < hop, span % hop == 0,
+    offset 0 / nonzero, frames reaching exactly the end of the signal."""
+    import jax.numpy as jnp
+
+    from semi_tts_tpu.ops.stft import frame_signal, frame_signal_static
+
+    rng = np.random.RandomState(0)
+    for (S, hop, off, span, T) in [
+        (2000, 275, 473, 1102, 1 + (2000 - 1575) // 275),
+        (2000, 300, 0, 900, 4),     # span % hop == 0
+        (2000, 500, 10, 300, 3),    # span < hop
+        (1000, 100, 0, 1000, 1),    # single frame, whole signal
+        (1650, 275, 473, 1102, 1),  # frame ends exactly at the signal end
+    ]:
+        x = jnp.asarray(rng.randn(3, S).astype(np.float32))
+        got = frame_signal_static(x, hop, T, support=(off, span))
+        # reference: dynamic_slice framing with a traced hop (bypasses the
+        # static fast path inside frame_signal)
+        want = frame_signal(x, span + off, jnp.asarray(hop), T, support=(off, span))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=str((S, hop, off, span, T)))
