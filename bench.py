@@ -117,12 +117,13 @@ def _bench_cpu_reference(waves, lengths, n_files=8):
     return best
 
 
-def _bench_decoder(iters=12, B=64):
+def _bench_decoder(iters=12, batch_sizes=(64, 256)):
     """AR decoder mel-frames/sec/chip on the full-size Tacotron2 stack.
 
     The decode loop is weight-streaming-bound (~37 MB of bf16-converted
     LSTM/attention weights re-read per step), so throughput scales with
-    serving batch; B=64 is the headline, B=256 the serving-farm figure.
+    serving batch; the first batch size is the headline (with MFU), the
+    rest are serving-farm figures. Returns {B: rate}, mfu_of_first.
     """
     import jax
     import jax.numpy as jnp
@@ -132,40 +133,42 @@ def _bench_decoder(iters=12, B=64):
 
     cfg, feat, phn_attr, params, state = g._build("full")
     U = 32
-    rng = np.random.RandomState(0)
-    text = np.zeros((B, U), np.int32)
-    text[:, : U - 2] = rng.randint(3, 43, size=(B, U - 2))
-    sid = jnp.asarray(rng.randint(0, 109, size=B).astype(np.int32))
-    text = jnp.asarray(text)
     decode_steps = 200  # 600 mel frames / utterance
+    rates, mfu = {}, None
+    for B in batch_sizes:
+        rng = np.random.RandomState(0)
+        text = np.zeros((B, U), np.int32)
+        text[:, : U - 2] = rng.randint(3, 43, size=(B, U - 2))
+        sid = jnp.asarray(rng.randint(0, 109, size=B).astype(np.int32))
+        text = jnp.asarray(text)
 
-    import functools
+        @jax.jit
+        def infer(params, state, text, sid, key):
+            lat = V.embed_text(params, cfg, phn_attr, text)
+            mel, lin, align, stop, _ = V.text_to_speech(
+                params, state, key, cfg, lat, sid, decode_steps=decode_steps,
+                train=False, teacher=None, tf_rate=0.0)
+            return mel
 
-    @functools.partial(jax.jit, static_argnames=())
-    def infer(params, state, text, sid, key):
-        lat = V.embed_text(params, cfg, phn_attr, text)
-        mel, lin, align, stop, _ = V.text_to_speech(
-            params, state, key, cfg, lat, sid, decode_steps=decode_steps,
-            train=False, teacher=None, tf_rate=0.0)
-        return mel
+        @jax.jit
+        def chained(params, state, text, sid, key):
+            def body(i, s):
+                mel = infer(params, state, text, sid, jax.random.fold_in(key, i))
+                return s + mel[0, 0, 0]
+            return jax.lax.fori_loop(0, iters, body, 0.0)
 
-    @jax.jit
-    def chained(params, state, text, sid, key):
-        def body(i, s):
-            mel = infer(params, state, text, sid, jax.random.fold_in(key, i))
-            return s + mel[0, 0, 0]
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+        key = jax.random.PRNGKey(0)
+        float(chained(params, state, text, sid, key))  # compile + warm
+        t0 = time.perf_counter()
+        float(chained(params, state, text, sid, key))
+        dt = (time.perf_counter() - t0) / iters
+        rates[B] = (B * decode_steps * cfg.n_frames_per_step) / dt
+        if mfu is None:  # analytic-FLOPs MFU for the headline batch only
+            from semi_tts_tpu.utils.flops import matmul_flops
 
-    key = jax.random.PRNGKey(0)
-    float(chained(params, state, text, sid, key))  # compile + warm
-    t0 = time.perf_counter()
-    float(chained(params, state, text, sid, key))
-    dt = (time.perf_counter() - t0) / iters
-    from semi_tts_tpu.utils.flops import matmul_flops
-
-    flops = matmul_flops(infer, params, state, text, sid, key)
-    mfu = flops / dt / V5E_BF16_PEAK
-    return (B * decode_steps * cfg.n_frames_per_step) / dt, mfu
+            flops = matmul_flops(infer, params, state, text, sid, key)
+            mfu = flops / dt / V5E_BF16_PEAK
+    return rates, mfu
 
 
 def _bench_train_steps(iters=6):
@@ -269,8 +272,7 @@ def main():
 
     tpu_rate, step_dt, feat_mfu = _bench_tpu_featurizer(waves, lengths)
     cpu_rate = _bench_cpu_reference(waves, lengths)
-    dec_rate, dec_mfu = _bench_decoder()
-    dec_rate_b256, _ = _bench_decoder(B=256)
+    dec_rates, dec_mfu = _bench_decoder()
     train_ms, train_mfu = _bench_train_steps()
     gl_rate, gl_dt = _bench_griffin_lim()
 
@@ -282,8 +284,8 @@ def main():
         "baseline_cpu_mel_frames_per_sec": round(cpu_rate, 1),
         "featurize_batch_ms": round(step_dt * 1e3, 2),
         "featurizer_mfu_pct": round(100 * feat_mfu, 1),
-        "ar_decoder_mel_frames_per_sec_per_chip": round(dec_rate, 1),
-        "ar_decoder_mel_frames_per_sec_per_chip_b256": round(dec_rate_b256, 1),
+        "ar_decoder_mel_frames_per_sec_per_chip": round(dec_rates[64], 1),
+        "ar_decoder_mel_frames_per_sec_per_chip_b256": round(dec_rates[256], 1),
         "ar_decoder_mfu_pct": round(100 * dec_mfu, 1),
         "train_step_ms_paired": round(train_ms["paired"] * 1e3, 1),
         "train_step_ms_speech_first": round(train_ms["speech_first"] * 1e3, 1),

@@ -162,7 +162,10 @@ def _ctc_nll_bwd(blank, res, g):
     # occupancy posteriors: gamma + nll = log( alpha*beta / P ) <= 0
     occ = jnp.exp(jnp.minimum(alphas + betas + nll[None, :, None], 0.0))  # (T,B,S)
     onehot = ((z[:, :, None] == jnp.arange(C)[None, None, :]) & valid_s[:, :, None])
-    grad = -jnp.einsum("tbs,bsc->btc", occ, onehot.astype(occ.dtype))
+    # HIGHEST: gradients must not silently pass through bf16 on TPU (the
+    # autodiff backward this replaces was full fp32); the dot is tiny
+    grad = -jnp.einsum("tbs,bsc->btc", occ, onehot.astype(occ.dtype),
+                       precision=jax.lax.Precision.HIGHEST)
     tmask = jnp.arange(T)[None, :] < input_lengths[:, None]
     finite = (nll < -NEG_INF / 2)  # impossible alignments: P=0 -> zero grad
     grad = grad * (g * finite)[:, None, None] * tmask[:, :, None].astype(occ.dtype)
@@ -198,13 +201,7 @@ def ctc_loss(
     nll = _ctc_nll(log_probs, targets.astype(jnp.int32),
                    input_lengths.astype(jnp.int32),
                    target_lengths.astype(jnp.int32), blank)
-    if reduction == "none":
-        return nll
-    if reduction == "sum":
-        return jnp.sum(nll)
-    if reduction == "mean":
-        return jnp.mean(nll / jnp.maximum(target_lengths, 1).astype(nll.dtype))
-    raise ValueError(reduction)
+    return _reduce(nll, target_lengths, reduction)
 
 
 def ctc_loss_autodiff(log_probs, targets, input_lengths, target_lengths, *,
@@ -215,6 +212,12 @@ def ctc_loss_autodiff(log_probs, targets, input_lengths, target_lengths, *,
     z, can_skip, valid_s = _lattice(targets, target_lengths, blank)
     nll, _ = _alpha_pass(log_probs, z, can_skip, valid_s,
                          input_lengths, target_lengths, blank, collect=False)
+    return _reduce(nll, target_lengths, reduction)
+
+
+def _reduce(nll, target_lengths, reduction: str):
+    """torch CTCLoss reductions: 'mean' divides each NLL by its target length
+    before averaging (`torch.nn.CTCLoss` semantics)."""
     if reduction == "none":
         return nll
     if reduction == "sum":

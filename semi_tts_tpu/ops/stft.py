@@ -113,8 +113,8 @@ def frame_signal(x_padded: jnp.ndarray, n_fft: int, hop, num_frames: int,
     gather — the latter is an element-wise gather and ~50x slower on TPU.
     """
     offset, span = support if support is not None else (0, n_fft)
-    if isinstance(hop, int):
-        return frame_signal_static(x_padded, hop, num_frames, support=(offset, span))
+    if isinstance(hop, (int, np.integer)):
+        return frame_signal_static(x_padded, int(hop), num_frames, support=(offset, span))
     starts = jnp.arange(num_frames, dtype=jnp.int32) * jnp.asarray(hop, jnp.int32) + offset
 
     def row(xp):

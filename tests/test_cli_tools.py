@@ -117,8 +117,12 @@ def test_g2p_rule_fallback_offline_chain(tmp_path):
     """The built-in RuleG2p fallback (--fallback-rules) generates a usable
     map table with NO external G2P dependency: every emitted phone reduces
     into the 39-phone set and the table feeds the tokenizer."""
+    import sys
     from argparse import Namespace
     from os.path import join
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, join(REPO, "util_cli"))  # keep the test self-contained
 
     import g2p_lj
     from g2p_common import (PHONEME_REDUCE_MAPPING, RuleG2p, load_g2p,
