@@ -88,6 +88,35 @@ def decoder_init(key, cfg: DecoderConfig):
     return p
 
 
+def wgrad_probes(cfg: DecoderConfig, decode_steps: int, B: int, dtype=jnp.float32):
+    """Zero per-step gate probes enabling the batched-weight-gradient path
+    (pass to `decoder_apply(wgrad_probes=...)` and differentiate w.r.t. them;
+    see that function's docstring)."""
+    return {"q": jnp.zeros((decode_steps, B, 4 * cfg.query_rnn_dim), dtype),
+            "d": jnp.zeros((decode_steps, B, 4 * cfg.dec_rnn_dim), dtype)}
+
+
+def assemble_wgrads(aux, probe_grads):
+    """LSTM weight gradients from probe cotangents + saved cell inputs.
+
+    ``aux``: the extra output of `decoder_apply(wgrad_probes=...)` — stacked
+    per-step cell inputs concat(x_t, h_{t-1}). ``probe_grads``: gradients of
+    the loss w.r.t. the probes (= gate gradients). Returns a partial params
+    pytree {query_rnn,dec_rnn:{w_ih,w_hh}} to ADD into the (zero) autodiff
+    gradients of those leaves. One big einsum per cell replaces autodiff's
+    per-step (4H, D+H) accumulator carried through the scan transpose —
+    measured ~10.5 ms of a 12.5 ms decoder backward at T=177, B=8.
+    """
+    out = {}
+    for name, key in (("query_rnn", "q"), ("dec_rnn", "d")):
+        H = probe_grads[key].shape[-1] // 4
+        in_dim = aux[key].shape[-1] - H
+        d_cat = jnp.einsum("tbg,tbx->gx", probe_grads[key], aux[key],
+                           precision=jax.lax.Precision.HIGH)
+        out[name] = {"w_ih": d_cat[:, :in_dim], "w_hh": d_cat[:, in_dim:]}
+    return out
+
+
 @partial(jax.jit, static_argnames=("cfg", "decode_steps", "train"))
 def decoder_apply(
     params,
@@ -102,6 +131,7 @@ def decoder_apply(
     teacher_rows=None,
     tf_rate=1.0,
     memory_lengths=None,
+    wgrad_probes=None,
 ):
     """Run the AR decoder for ``decode_steps`` macro-steps.
 
@@ -118,7 +148,17 @@ def decoder_apply(
         the batch, as in `src/module.py:190`).
 
     Returns (mel (B, decode_steps*r, M), align (B, decode_steps, L),
-             stop (B, decode_steps*r)).
+             stop (B, decode_steps*r)); with ``wgrad_probes`` also an ``aux``
+    dict of stacked per-step LSTM cell inputs.
+
+    ``wgrad_probes`` (training-only, from `wgrad_probes()`): zero per-step
+    tensors added to the two LSTM cells' gate pre-activations, with the
+    corresponding weight matrices stop-gradiented. Autodiff's transpose of
+    this scan otherwise carries each cell's full (4H, D+H) weight-gradient
+    accumulator through every backward step — pure HBM traffic that
+    dominates the decoder backward. Differentiating w.r.t. the probes yields
+    the per-step gate gradients instead, and `assemble_wgrads` rebuilds the
+    exact same dW with one batched einsum outside the loop.
     """
     B, L, _ = memory.shape
     r, M = cfg.n_frames_per_step, cfg.n_mels
@@ -164,13 +204,20 @@ def decoder_apply(
         dec_in=dec_in0.astype(dt),
     )
 
-    def step(c, t):
+    use_probes = wgrad_probes is not None
+
+    def step(c, xs):
+        if use_probes:
+            t, probe_q, probe_d = xs
+        else:
+            t, probe_q, probe_d = xs, None, None
         rng = c["rng"]
         rng, k_q, k_d, k_pre, k_coin = jax.random.split(rng, 5)
 
         # ---- decode_one_step (`src/module.py:216-288`) ----
         q_in = jnp.concatenate([c["dec_in"], c["attn_ctx"]], axis=-1)
-        q_h, q_c = lstm_cell(params["query_rnn"], q_in, c["q_h"], c["q_c"])
+        q_h, q_c = lstm_cell(params["query_rnn"], q_in, c["q_h"], c["q_c"],
+                             probe=probe_q, stop_w=use_probes)
         q_h = dropout(k_q, q_h, cfg.query_dropout, enabled=train)
 
         if cfg.pretrain:
@@ -191,7 +238,8 @@ def decoder_apply(
         else:
             adapted = q_h
         d_in = jnp.concatenate([ctx, adapted], axis=-1)
-        d_h, d_c = lstm_cell(params["dec_rnn"], d_in, c["d_h"], c["d_c"])
+        d_h, d_c = lstm_cell(params["dec_rnn"], d_in, c["d_h"], c["d_c"],
+                             probe=probe_d, stop_w=use_probes)
         d_h = dropout(k_d, d_h, cfg.dec_dropout, enabled=train)
 
         hc = jnp.concatenate([d_h, ctx], axis=-1)
@@ -214,10 +262,19 @@ def decoder_apply(
 
         c2 = dict(rng=rng, q_h=q_h, q_c=q_c, d_h=d_h, d_c=d_c,
                   attn_w=w, attn_w_sum=w_sum, attn_ctx=ctx, dec_in=dec_in)
-        return c2, (mel_out, w, stop)
+        ys = (mel_out, w, stop)
+        if use_probes:  # saved cell inputs for the batched dW einsum
+            ys = ys + (jnp.concatenate([q_in, c["q_h"]], axis=-1),
+                       jnp.concatenate([d_in, c["d_h"]], axis=-1))
+        return c2, ys
 
-    _, (mels, aligns, stops) = jax.lax.scan(step, carry0, jnp.arange(decode_steps))
+    ts = jnp.arange(decode_steps)
+    xs = (ts, wgrad_probes["q"], wgrad_probes["d"]) if use_probes else ts
+    _, out = jax.lax.scan(step, carry0, xs)
+    mels, aligns, stops = out[:3]
     mel = jnp.swapaxes(mels, 0, 1).reshape(B, decode_steps * r, M)
     align = jnp.swapaxes(aligns, 0, 1)                 # (B, T', L)
     stop = jnp.swapaxes(stops, 0, 1).reshape(B, decode_steps * r)
+    if use_probes:
+        return mel, align, stop, {"q": out[3], "d": out[4]}
     return mel, align, stop

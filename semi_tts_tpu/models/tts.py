@@ -54,20 +54,23 @@ def tts_init(key, cfg: TTSConfig):
 
 def tts_apply(params, state, rng, txt_embed, spkr_embed, *, cfg: TTSConfig,
               decode_steps: int, train: bool, teacher=None, teacher_rows=None,
-              tf_rate=1.0, txt_lengths=None):
+              tf_rate=1.0, txt_lengths=None, wgrad_probes=None):
     """txt_embed: (B, L, in_embed_dim) codebook latents.
 
-    Returns (mel, linear, align, stop, new_state). ``linear`` is None when the
-    model has no postnet (use_linear=False configs).
+    Returns (mel, linear, align, stop, new_state) — plus the decoder's
+    weight-grad ``aux`` when ``wgrad_probes`` is given (see
+    `decoder.decoder_apply`). ``linear`` is None when the model has no
+    postnet (use_linear=False configs).
     """
     k_enc, k_dec = jax.random.split(rng)
     memory, enc_s = encoder_apply(params["encoder"], state["encoder"], k_enc,
                                   txt_embed, dropout_rate=cfg.enc_dropout, train=train)
-    mel, align, stop = decoder_apply(params["decoder"], k_dec, memory, spkr_embed,
-                                     cfg=cfg.decoder, decode_steps=decode_steps,
-                                     train=train, teacher=teacher,
-                                     teacher_rows=teacher_rows, tf_rate=tf_rate,
-                                     memory_lengths=txt_lengths)
+    dec_out = decoder_apply(params["decoder"], k_dec, memory, spkr_embed,
+                            cfg=cfg.decoder, decode_steps=decode_steps,
+                            train=train, teacher=teacher,
+                            teacher_rows=teacher_rows, tf_rate=tf_rate,
+                            memory_lengths=txt_lengths, wgrad_probes=wgrad_probes)
+    mel, align, stop = dec_out[:3]
     new_state = {"encoder": enc_s}
     lin = None
     if "postnet" in params:
@@ -75,6 +78,8 @@ def tts_apply(params, state, rng, txt_embed, spkr_embed, *, cfg: TTSConfig,
         h, cbhg_s = cbhg_apply(params["postnet"]["cbhg"], state["postnet"], post_in, train=train)
         lin = linear(params["postnet"]["linear"], h)
         new_state["postnet"] = cbhg_s
+    if wgrad_probes is not None:
+        return mel, lin, align, stop, new_state, dec_out[3]
     return mel, lin, align, stop, new_state
 
 

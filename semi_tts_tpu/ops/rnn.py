@@ -34,9 +34,23 @@ def lstm_init(key, input_dim: int, hidden_dim: int):
     }
 
 
-def lstm_cell(params, x, h, c):
-    """One LSTMCell step. x: (B, D); h, c: (B, H). Returns (h', c')."""
-    gates = x @ params["w_ih"].T + params["b_ih"] + h @ params["w_hh"].T + params["b_hh"]
+def lstm_cell(params, x, h, c, *, probe=None, stop_w=False):
+    """One LSTMCell step. x: (B, D); h, c: (B, H). Returns (h', c').
+
+    ``probe``/``stop_w`` implement the batched-weight-gradient trick for AR
+    scans (see `models.decoder.decoder_apply`): with the weight matrices
+    stop-gradiented and a zero ``probe`` added to the gate pre-activations,
+    the probe's cotangent IS the gate gradient — letting the caller compute
+    dW outside the scan as one batched einsum instead of autodiff's
+    per-step (4H x D) accumulator carried through the loop.
+    """
+    w_ih, w_hh = params["w_ih"], params["w_hh"]
+    if stop_w:
+        w_ih = jax.lax.stop_gradient(w_ih)
+        w_hh = jax.lax.stop_gradient(w_hh)
+    gates = x @ w_ih.T + params["b_ih"] + h @ w_hh.T + params["b_hh"]
+    if probe is not None:
+        gates = gates + probe
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)

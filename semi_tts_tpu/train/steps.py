@@ -135,7 +135,27 @@ class StepBuilder:
         params = optax.apply_updates(params, updates)
         return params, opt_state, grad_norm
 
-    def _losses_paired(self, params, state, rngs, mel, linear, aug_mel, text, sid, tf_rate):
+    # -------- batched decoder weight grads (see decoder.decoder_apply) --------
+
+    def _probes(self, decode_steps, B_all):
+        from ..models.decoder import wgrad_probes
+
+        return wgrad_probes(self.cfg.tts.decoder, decode_steps, B_all)
+
+    def _merge_wgrads(self, grads, aux, probe_grads):
+        """Add the batched LSTM dW (einsum over the saved cell inputs and the
+        probe cotangents) into the autodiff grads, whose decoder w_ih/w_hh
+        leaves are exactly zero under the probe path."""
+        from ..models.decoder import assemble_wgrads
+
+        dec = grads["tts"]["decoder"]
+        for name, sub in assemble_wgrads(aux, probe_grads).items():
+            for k, v in sub.items():
+                dec[name][k] = dec[name][k] + v
+        return grads
+
+    def _losses_paired(self, params, state, rngs, mel, linear, aug_mel, text, sid,
+                       tf_rate, wgrad_probes=None):
         """Paired-only forward: CTC + TTS losses (supervised path)."""
         cfg = self.cfg
         B = mel.shape[0]
@@ -146,10 +166,12 @@ class StepBuilder:
         lat = V.embed_text(params, cfg, self.phn_attr, text)
         # encoded length = non-pad tokens + the trailing <pad> (src/text.py:65)
         lat_len = jnp.sum(text != 0, axis=-1) + 1
-        mel_pred, lin_pred, align, stop, st = V.text_to_speech(
+        tts_out = V.text_to_speech(
             params, st, rngs[1], cfg, lat, sid,
             decode_steps=mel.shape[1] // self.r, train=True, teacher=mel,
-            tf_rate=tf_rate, latent_lengths=lat_len)
+            tf_rate=tf_rate, latent_lengths=lat_len, wgrad_probes=wgrad_probes)
+        mel_pred, lin_pred, align, stop, st = tts_out[:5]
+        aux = tts_out[5] if wgrad_probes is not None else None
         mel_pred, lin_pred = self._c(mel_pred), self._c(lin_pred)
         mel_loss = self.floss(mel_pred, mel)
         lin_loss = self.floss(lin_pred, linear) if lin_pred is not None else 0.0
@@ -164,7 +186,7 @@ class StepBuilder:
         mets = dict(asr_loss=asr_loss, mel_loss=mel_loss, linear_loss=lin_loss,
                     tts_loss=mel_loss + lin_loss, post_loss=post_loss,
                     pair_align=align, pair_pred=jnp.argmax(p_code, -1))
-        return total, st, mets
+        return total, st, mets, aux
 
     # ---------------- compiled steps ----------------
 
@@ -176,14 +198,18 @@ class StepBuilder:
             rng = jax.random.fold_in(rng, step_no)  # in-graph: host RNG splits are expensive
             k_aug, k1, k2 = jax.random.split(rng, 3)
             mel, linear, aug, _, aug_flen = self._features(k_aug, waves, wave_len)
+            probes = self._probes(mel.shape[1] // self.r, mel.shape[0])
 
-            def loss_fn(p):
-                total, st, mets = self._losses_paired(p, state, (k1, k2), mel, linear,
-                                                      aug, text, sid, tf_rate)
+            def loss_fn(p, probes):
+                total, st, mets, aux = self._losses_paired(p, state, (k1, k2), mel, linear,
+                                                           aug, text, sid, tf_rate,
+                                                           wgrad_probes=probes)
                 mets["pair_pred_len"] = self._enc_len(aug_flen, mets["pair_pred"].shape[1])
-                return total, (st, mets)
+                return total, (st, mets, aux)
 
-            (total, (st, mets)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (total, (st, mets, aux)), (grads, gprobes) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, probes)
+            grads = self._merge_wgrads(grads, aux, gprobes)
             params2, opt_state, gnorm = self._apply_updates(params, opt_state, grads)
             mets.update(total_loss=total, grad_norm=gnorm)
             return params2, st, opt_state, mets
@@ -202,8 +228,9 @@ class StepBuilder:
             mel, linear, aug, _, aug_flen = self._features(k_aug, waves, wave_len)
             u_mel, u_linear, u_aug, _, u_aug_flen = self._features(k_uaug, u_waves, u_wave_len)
             Bp, Bu = mel.shape[0], u_mel.shape[0]
+            probes = self._probes(max(mel.shape[1], u_mel.shape[1]) // r, Bp + Bu)
 
-            def loss_fn(p):
+            def loss_fn(p, probes):
                 # speech -> text on packed aug mels (`src/vqvae.py:106-141`)
                 _, all_aug = padded_concat(aug, u_aug)
                 p_code, q, post_prob, st = V.speech_to_text(
@@ -221,11 +248,11 @@ class StepBuilder:
                 _, all_teacher = padded_concat(mel, u_mel)
                 all_sid = jnp.concatenate([sid, u_sid])
                 all_lat_len = jnp.concatenate([jnp.sum(text != 0, -1) + 1, u_lens])
-                mel_pred, lin_pred, align, stop, st = V.text_to_speech(
+                mel_pred, lin_pred, align, stop, st, aux = V.text_to_speech(
                     p, st, k2, cfg, all_lat, all_sid,
                     decode_steps=all_teacher.shape[1] // r, train=True,
                     teacher=all_teacher, tf_rate=tf_rate,
-                    latent_lengths=all_lat_len)
+                    latent_lengths=all_lat_len, wgrad_probes=probes)
                 mel_pred, lin_pred = self._c(mel_pred), self._c(lin_pred)
 
                 Tp, Tu = mel.shape[1], u_mel.shape[1]
@@ -246,9 +273,11 @@ class StepBuilder:
                             pair_pred_len=self._enc_len(aug_flen, pair_prob.shape[1]),
                             unpair_pred=jnp.argmax(p_code[Bp:], -1),
                             unpair_pred_len=self._enc_len(u_aug_flen, p_code.shape[1]))
-                return total, (st, mets)
+                return total, (st, mets, aux)
 
-            (total, (st, mets)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (total, (st, mets, aux)), (grads, gprobes) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, probes)
+            grads = self._merge_wgrads(grads, aux, gprobes)
             params2, opt_state, gnorm = self._apply_updates(params, opt_state, grads)
             mets.update(total_loss=total, grad_norm=gnorm)
             return params2, st, opt_state, mets
@@ -272,8 +301,9 @@ class StepBuilder:
             # ``x += x % r`` only rounds correctly when r | 2x — a genuine
             # round-up is used here, flagged in docs/PARITY.md)
             u_ts = round_up(int(V.FRAME_PHN_RATIO * u_text.shape[1]), r)
+            probes = self._probes(max(mel.shape[1] // r, u_ts // r), Bp + Bu)
 
-            def loss_fn(p):
+            def loss_fn(p, probes):
                 pair_lat = V.embed_text(p, cfg, self.phn_attr, text)
                 u_lat = V.embed_text(p, cfg, self.phn_attr, u_text)
                 _, all_lat = padded_concat(pair_lat, u_lat)
@@ -283,10 +313,10 @@ class StepBuilder:
                 decode_steps = max(mel.shape[1] // r, u_ts // r)
                 all_lat_len = jnp.concatenate([jnp.sum(text != 0, -1) + 1,
                                                jnp.sum(u_text != 0, -1) + 1])
-                mel_pred, lin_pred, align, stop, st = V.text_to_speech(
+                mel_pred, lin_pred, align, stop, st, aux = V.text_to_speech(
                     p, state, k2, cfg, all_lat, all_sid, decode_steps=decode_steps,
                     train=True, teacher=teacher, teacher_rows=teacher_rows,
-                    tf_rate=tf_rate, latent_lengths=all_lat_len)
+                    tf_rate=tf_rate, latent_lengths=all_lat_len, wgrad_probes=probes)
                 mel_pred, lin_pred = self._c(mel_pred), self._c(lin_pred)
 
                 Tp = mel.shape[1]
@@ -324,9 +354,11 @@ class StepBuilder:
                             ctc_nan=u_txt_nan, pair_align=align[:Bp],
                             pair_pred=jnp.argmax(pair_prob, -1),
                             pair_pred_len=self._enc_len(aug_flen, pair_prob.shape[1]))
-                return total, (st, mets)
+                return total, (st, mets, aux)
 
-            (total, (st, mets)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (total, (st, mets, aux)), (grads, gprobes) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, probes)
+            grads = self._merge_wgrads(grads, aux, gprobes)
             params2, opt_state, gnorm = self._apply_updates(params, opt_state, grads)
             mets.update(total_loss=total, grad_norm=gnorm)
             return params2, st, opt_state, mets

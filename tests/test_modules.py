@@ -78,3 +78,55 @@ def test_highway_matches_reference_formula():
 def test_seq_mask():
     m = np.asarray(C.seq_mask(jnp.array([2, 4]), 5))
     assert (m == np.array([[0, 0, 1, 1, 1], [0, 0, 0, 0, 1]], bool)).all()
+
+
+def test_decoder_batched_wgrad_path_matches_autodiff():
+    """The probe-based batched weight-gradient path (wgrad_probes +
+    assemble_wgrads) must reproduce plain autodiff's decoder gradients
+    exactly: LSTM dW via the outside-the-scan einsum, every other leaf
+    untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from semi_tts_tpu.models.decoder import (DecoderConfig, assemble_wgrads,
+                                             decoder_apply, decoder_init,
+                                             wgrad_probes)
+
+    cfg = DecoderConfig(n_mels=12, n_frames_per_step=3, enc_embed_dim=32,
+                        spkr_embed_dim=8, prenet_dim=16, query_rnn_dim=24,
+                        dec_rnn_dim=24, attn_dim=16, n_location_filters=4,
+                        location_kernel_size=7)
+    params = decoder_init(jax.random.PRNGKey(0), cfg)
+    B, T = 3, 5
+    mem = jax.random.normal(jax.random.PRNGKey(1), (B, 7, 32))
+    spk = jax.random.normal(jax.random.PRNGKey(2), (B, 8))
+    teacher = jax.random.normal(jax.random.PRNGKey(3), (B, T * 3, 12)) * 0.1
+    rng = jax.random.PRNGKey(7)
+
+    def loss_plain(p):
+        mel, _, stop = decoder_apply(p, rng, mem, spk, cfg=cfg, decode_steps=T,
+                                     train=True, teacher=teacher, tf_rate=0.7)
+        return jnp.sum(mel**2) + jnp.sum(stop**2)
+
+    def loss_probe(p, probes):
+        mel, _, stop, aux = decoder_apply(p, rng, mem, spk, cfg=cfg, decode_steps=T,
+                                          train=True, teacher=teacher, tf_rate=0.7,
+                                          wgrad_probes=probes)
+        return jnp.sum(mel**2) + jnp.sum(stop**2), aux
+
+    g_plain = jax.grad(loss_plain)(params)
+    probes = wgrad_probes(cfg, T, B)
+    (grads, gprobes), aux = jax.grad(loss_probe, argnums=(0, 1), has_aux=True)(params, probes)
+    wg = assemble_wgrads(aux, gprobes)
+    for name in ("query_rnn", "dec_rnn"):
+        for k in ("w_ih", "w_hh"):
+            assert float(jnp.abs(grads[name][k]).max()) == 0.0  # stop-gradiented
+            np.testing.assert_allclose(np.asarray(grads[name][k] + wg[name][k]),
+                                       np.asarray(g_plain[name][k]),
+                                       atol=2e-6, err_msg=f"{name}.{k}")
+        np.testing.assert_allclose(np.asarray(grads[name]["b_ih"]),
+                                   np.asarray(g_plain[name]["b_ih"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grads["proj"]["w"]),
+                               np.asarray(g_plain["proj"]["w"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grads["attn"]["query_layer"]["w"]),
+                               np.asarray(g_plain["attn"]["query_layer"]["w"]), atol=1e-6)
