@@ -208,22 +208,29 @@ def audiolm_init(key, dec_cfg, linear_dim=None):
     return params, state, dec_cfg
 
 
-def audiolm_apply(params, state, rng, mel_teacher, *, dec_cfg, train=True):
+def audiolm_apply(params, state, rng, mel_teacher, *, dec_cfg, train=True,
+                  wgrad_probes=None):
     """Teacher-forced unconditional decode over the input mel
-    (`src/lm.py:71-93`). Returns (mel_pred, linear_pred|None, new_state)."""
+    (`src/lm.py:71-93`). Returns (mel_pred, linear_pred|None, new_state) —
+    plus the decoder weight-grad ``aux`` when ``wgrad_probes`` is given
+    (`decoder.decoder_apply` batched-dW path)."""
     from .cbhg import cbhg_apply
     from .decoder import decoder_apply
 
     B, T, M = mel_teacher.shape
     empty_memory = jnp.zeros((B, 2, dec_cfg.enc_embed_dim))
     spkr = jnp.zeros((B, dec_cfg.spkr_embed_dim))
-    mel, _, _ = decoder_apply(params["decoder"], rng, empty_memory, spkr,
-                              cfg=dec_cfg, decode_steps=T // dec_cfg.n_frames_per_step,
-                              train=train, teacher=mel_teacher, tf_rate=1.0)
+    out = decoder_apply(params["decoder"], rng, empty_memory, spkr,
+                        cfg=dec_cfg, decode_steps=T // dec_cfg.n_frames_per_step,
+                        train=train, teacher=mel_teacher, tf_rate=1.0,
+                        wgrad_probes=wgrad_probes)
+    mel = out[0]
     new_state = dict(state)
     lin = None
     if "postnet" in params:
         h, cbhg_s = cbhg_apply(params["postnet"]["cbhg"], state["postnet"], mel, train=train)
         lin = linear(params["postnet"]["linear"], h)
         new_state["postnet"] = cbhg_s
+    if wgrad_probes is not None:
+        return mel, lin, new_state, out[3]
     return mel, lin, new_state

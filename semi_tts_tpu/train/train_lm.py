@@ -105,21 +105,29 @@ class LmTrainer(VqvaeTrainer):
             self.model_cfg.tts.decoder.n_frames_per_step
 
         if self.lm_mode == "speech":
-            def loss_fn(p, state, k, mel, linear):
-                mel_pred, lin_pred, st = audiolm_apply(p, state, k, mel,
-                                                       dec_cfg=dec_cfg, train=True)
+            def loss_fn(p, probes, state, k, mel, linear):
+                mel_pred, lin_pred, st, aux = audiolm_apply(
+                    p, state, k, mel, dec_cfg=dec_cfg, train=True,
+                    wgrad_probes=probes)
                 total = floss(mel_pred, mel)
                 if lin_pred is not None:
                     total = total + floss(lin_pred, linear)
-                return total, st
+                return total, (st, aux)
 
             @partial(jax.jit, donate_argnums=(0, 2))
             def step(p, state, opt_state, rng, i, waves, wave_len):
+                from ..models.decoder import assemble_wgrads, wgrad_probes
+
                 k = jax.random.fold_in(rng, i)
                 mel, linear, _ = feat.featurize(waves, wave_len)
                 mel, linear = _pad_frames(mel, r), _pad_frames(linear, r)
-                (total, st), grads = jax.value_and_grad(
-                    lambda q: loss_fn(q, state, k, mel, linear), has_aux=True)(p)
+                probes = wgrad_probes(dec_cfg, mel.shape[1] // r, mel.shape[0])
+                (total, (st, aux)), (grads, gprobes) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True)(p, probes, state, k, mel, linear)
+                dec = grads["decoder"]
+                for name, sub in assemble_wgrads(aux, gprobes).items():
+                    for kk, v in sub.items():
+                        dec[name][kk] = dec[name][kk] + v
                 updates, opt_state = self.tx.update(grads, opt_state, p)
                 return optax.apply_updates(p, updates), st, opt_state, total
 
