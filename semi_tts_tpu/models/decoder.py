@@ -96,6 +96,16 @@ def wgrad_probes(cfg: DecoderConfig, decode_steps: int, B: int, dtype=jnp.float3
             "d": jnp.zeros((decode_steps, B, 4 * cfg.dec_rnn_dim), dtype)}
 
 
+def merge_wgrads(dec_grads, aux, probe_grads):
+    """Add the batched LSTM dW into a decoder grads subtree (whose w_ih/w_hh
+    leaves are exactly zero under the probe path) — shared by every trainer
+    that uses the probe path."""
+    for name, sub in assemble_wgrads(aux, probe_grads).items():
+        for k, v in sub.items():
+            dec_grads[name][k] = dec_grads[name][k] + v
+    return dec_grads
+
+
 def assemble_wgrads(aux, probe_grads):
     """LSTM weight gradients from probe cotangents + saved cell inputs.
 

@@ -137,21 +137,15 @@ class StepBuilder:
 
     # -------- batched decoder weight grads (see decoder.decoder_apply) --------
 
-    def _probes(self, decode_steps, B_all):
+    def _probes(self, decode_steps, B_all, dtype=jnp.float32):
         from ..models.decoder import wgrad_probes
 
-        return wgrad_probes(self.cfg.tts.decoder, decode_steps, B_all)
+        return wgrad_probes(self.cfg.tts.decoder, decode_steps, B_all, dtype)
 
     def _merge_wgrads(self, grads, aux, probe_grads):
-        """Add the batched LSTM dW (einsum over the saved cell inputs and the
-        probe cotangents) into the autodiff grads, whose decoder w_ih/w_hh
-        leaves are exactly zero under the probe path."""
-        from ..models.decoder import assemble_wgrads
+        from ..models.decoder import merge_wgrads
 
-        dec = grads["tts"]["decoder"]
-        for name, sub in assemble_wgrads(aux, probe_grads).items():
-            for k, v in sub.items():
-                dec[name][k] = dec[name][k] + v
+        merge_wgrads(grads["tts"]["decoder"], aux, probe_grads)
         return grads
 
     def _losses_paired(self, params, state, rngs, mel, linear, aug_mel, text, sid,
@@ -198,7 +192,7 @@ class StepBuilder:
             rng = jax.random.fold_in(rng, step_no)  # in-graph: host RNG splits are expensive
             k_aug, k1, k2 = jax.random.split(rng, 3)
             mel, linear, aug, _, aug_flen = self._features(k_aug, waves, wave_len)
-            probes = self._probes(mel.shape[1] // self.r, mel.shape[0])
+            probes = self._probes(mel.shape[1] // self.r, mel.shape[0], mel.dtype)
 
             def loss_fn(p, probes):
                 total, st, mets, aux = self._losses_paired(p, state, (k1, k2), mel, linear,
@@ -228,7 +222,10 @@ class StepBuilder:
             mel, linear, aug, _, aug_flen = self._features(k_aug, waves, wave_len)
             u_mel, u_linear, u_aug, _, u_aug_flen = self._features(k_uaug, u_waves, u_wave_len)
             Bp, Bu = mel.shape[0], u_mel.shape[0]
-            probes = self._probes(max(mel.shape[1], u_mel.shape[1]) // r, Bp + Bu)
+            # padded_concat(mel, u_mel) pads time to the max: the decoder runs
+            # exactly this many macro-steps (probes must match)
+            decode_steps = max(mel.shape[1], u_mel.shape[1]) // r
+            probes = self._probes(decode_steps, Bp + Bu, mel.dtype)
 
             def loss_fn(p, probes):
                 # speech -> text on packed aug mels (`src/vqvae.py:106-141`)
@@ -250,7 +247,7 @@ class StepBuilder:
                 all_lat_len = jnp.concatenate([jnp.sum(text != 0, -1) + 1, u_lens])
                 mel_pred, lin_pred, align, stop, st, aux = V.text_to_speech(
                     p, st, k2, cfg, all_lat, all_sid,
-                    decode_steps=all_teacher.shape[1] // r, train=True,
+                    decode_steps=decode_steps, train=True,
                     teacher=all_teacher, tf_rate=tf_rate,
                     latent_lengths=all_lat_len, wgrad_probes=probes)
                 mel_pred, lin_pred = self._c(mel_pred), self._c(lin_pred)
@@ -301,7 +298,8 @@ class StepBuilder:
             # ``x += x % r`` only rounds correctly when r | 2x — a genuine
             # round-up is used here, flagged in docs/PARITY.md)
             u_ts = round_up(int(V.FRAME_PHN_RATIO * u_text.shape[1]), r)
-            probes = self._probes(max(mel.shape[1] // r, u_ts // r), Bp + Bu)
+            decode_steps = max(mel.shape[1] // r, u_ts // r)
+            probes = self._probes(decode_steps, Bp + Bu, mel.dtype)
 
             def loss_fn(p, probes):
                 pair_lat = V.embed_text(p, cfg, self.phn_attr, text)
@@ -310,7 +308,6 @@ class StepBuilder:
                 teacher = jnp.concatenate([mel, jnp.zeros((Bu,) + mel.shape[1:])], axis=0)
                 teacher_rows = jnp.arange(Bp + Bu) < Bp
                 all_sid = jnp.concatenate([sid, u_sid])
-                decode_steps = max(mel.shape[1] // r, u_ts // r)
                 all_lat_len = jnp.concatenate([jnp.sum(text != 0, -1) + 1,
                                                jnp.sum(u_text != 0, -1) + 1])
                 mel_pred, lin_pred, align, stop, st, aux = V.text_to_speech(

@@ -116,18 +116,15 @@ class LmTrainer(VqvaeTrainer):
 
             @partial(jax.jit, donate_argnums=(0, 2))
             def step(p, state, opt_state, rng, i, waves, wave_len):
-                from ..models.decoder import assemble_wgrads, wgrad_probes
+                from ..models.decoder import merge_wgrads, wgrad_probes
 
                 k = jax.random.fold_in(rng, i)
                 mel, linear, _ = feat.featurize(waves, wave_len)
                 mel, linear = _pad_frames(mel, r), _pad_frames(linear, r)
-                probes = wgrad_probes(dec_cfg, mel.shape[1] // r, mel.shape[0])
+                probes = wgrad_probes(dec_cfg, mel.shape[1] // r, mel.shape[0], mel.dtype)
                 (total, (st, aux)), (grads, gprobes) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True)(p, probes, state, k, mel, linear)
-                dec = grads["decoder"]
-                for name, sub in assemble_wgrads(aux, gprobes).items():
-                    for kk, v in sub.items():
-                        dec[name][kk] = dec[name][kk] + v
+                merge_wgrads(grads["decoder"], aux, gprobes)
                 updates, opt_state = self.tx.update(grads, opt_state, p)
                 return optax.apply_updates(p, updates), st, opt_state, total
 
