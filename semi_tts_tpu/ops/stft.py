@@ -364,9 +364,11 @@ def istft_reim(re: jnp.ndarray, im: jnp.ndarray, *, n_fft: int, hop: int,
 
 
 def stft_complex(x: jnp.ndarray, *, n_fft: int, hop: int, win_length: int) -> jnp.ndarray:
-    """Complex STFT of ``(..., S)`` with whole-array reflect padding —
-    the Griffin-Lim inner loop operates on a single fixed-length signal,
-    so plain reflect padding (no ragged lengths) is exact here."""
+    """Complex STFT of ``(..., S)`` with whole-array reflect padding.
+
+    Test-reference form (element-gather framing + ``jnp.fft``): the hot
+    paths use the matmul forms (`stft_magnitude`, `stft_reim`); round-trip
+    tests check those against this independent implementation."""
     pad = n_fft // 2
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     S = x.shape[-1]
