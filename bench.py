@@ -15,7 +15,9 @@ Timing methodology (axon tunnel): N iterations chained inside ONE jitted
 fori_loop, a single scalar float() readback (block_until_ready does not
 reliably flush the remote queue). The readback itself costs ~10 ms of
 tunnel latency, so N must be large enough to amortize it (profiler-checked:
-at N=3 the AR-decoder figure under-reported device throughput ~2x). MFU = analytic dot/conv FLOPs
+at N=3 the AR-decoder figure under-reported device throughput ~2x).
+Every timing — device chains AND the CPU baseline — is best-of-3, so a
+contended run on either side cannot skew the vs_baseline ratio. MFU = analytic dot/conv FLOPs
 (`utils.flops.matmul_flops`, scan-aware — XLA's own cost_analysis counts
 loop bodies once) / time / bf16 peak. These are *useful* FLOPs: dots at
 HIGH (bf16x3) precision execute 3 hardware passes per counted dot, so
@@ -30,6 +32,18 @@ import time
 import numpy as np
 
 V5E_BF16_PEAK = 197e12  # TPU v5e bf16 MXU peak FLOP/s
+
+
+def _best_of(fn, n=3):
+    """Best (min) wall time of ``n`` timed calls — both sides of the
+    vs_baseline ratio use best-of-k so one contended/wobbly run on either
+    side cannot skew the comparison."""
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _bench_tpu_featurizer(waves, lengths, iters=10):
@@ -56,9 +70,7 @@ def _bench_tpu_featurizer(waves, lengths, iters=10):
 
     key = jax.random.PRNGKey(0)
     float(chained(wd, ld, key))  # compile + warm
-    t0 = time.perf_counter()
-    float(chained(wd, ld, key))
-    dt = (time.perf_counter() - t0) / iters
+    dt = _best_of(lambda: float(chained(wd, ld, key))) / iters
     from semi_tts_tpu.utils.flops import matmul_flops
 
     flops = matmul_flops(
@@ -159,9 +171,7 @@ def _bench_decoder(iters=12, batch_sizes=(64, 256)):
 
         key = jax.random.PRNGKey(0)
         float(chained(params, state, text, sid, key))  # compile + warm
-        t0 = time.perf_counter()
-        float(chained(params, state, text, sid, key))
-        dt = (time.perf_counter() - t0) / iters
+        dt = _best_of(lambda: float(chained(params, state, text, sid, key))) / iters
         rates[B] = (B * decode_steps * cfg.n_frames_per_step) / dt
         if mfu is None:  # analytic-FLOPs MFU for the headline batch only
             from semi_tts_tpu.utils.flops import matmul_flops
@@ -218,9 +228,8 @@ def _bench_train_steps(iters=6):
             return jax.tree_util.tree_leaves(p)[0].reshape(-1)[0]
 
         float(chained(params, state, opt_state, key, *args))  # compile + warm
-        t0 = time.perf_counter()
-        float(chained(params, state, opt_state, key, *args))
-        dt = (time.perf_counter() - t0) / iters
+        dt = _best_of(
+            lambda: float(chained(params, state, opt_state, key, *args))) / iters
         out[name] = dt
         if name == "paired":
             from semi_tts_tpu.utils.flops import matmul_flops
@@ -257,9 +266,7 @@ def _bench_griffin_lim(iters=8):
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
     float(chained(amp, key))  # compile + warm
-    t0 = time.perf_counter()
-    float(chained(amp, key))
-    dt = (time.perf_counter() - t0) / iters
+    dt = _best_of(lambda: float(chained(amp, key))) / iters
     return B / dt, dt
 
 
