@@ -223,16 +223,21 @@ class AudioFeaturizer:
         # window's (both centered in n_fft) — slice frames + DFT rows to it
         off, span = window_support(n_fft, c.max_stretch_win)
 
+        # scan over a transposed (S_pad, B) buffer: each frame slice is one
+        # contiguous (span, B) block rather than B strided row-chunks
+        # (measured -7% on this program, tools/proto_framing_layout.py)
+        xpt = xp.T
+
         def step(_, t):
             s = jnp.minimum(t * hop, s_last) + off
-            return None, jax.lax.dynamic_slice(xp, (0, s), (B, span))
+            return None, jax.lax.dynamic_slice(xpt, (s, 0), (span, B))
 
         _, frames = jax.lax.scan(step, None, jnp.arange(T_max, dtype=jnp.int32),
                                  unroll=8)  # scan launch overhead, ~30% faster
         window = dynamic_hann_window(n_fft, win)[off : off + span]
-        spec = magnitude_dft(frames * window, n_fft,
+        spec = magnitude_dft(frames * window[:, None], n_fft,
                              precision=jax.lax.Precision.HIGH,
-                             support=(off, span))  # (T, B, F)
+                             support=(off, span), time_major=True)  # (T, B, F)
         mel = self._finalize(self._mel_of_spec(spec))
         mel = jnp.swapaxes(mel, 0, 1)  # (B, T, M)
         t = jnp.arange(T_max, dtype=jnp.int32)[None, :]

@@ -211,7 +211,8 @@ def _support_dft_matrices(n_fft: int, fold_window: int | None, support: tuple):
 def magnitude_dft(frames: jnp.ndarray, n_fft: int,
                   precision=jax.lax.Precision.HIGHEST,
                   fold_window: int | None = None,
-                  support: tuple | None = None) -> jnp.ndarray:
+                  support: tuple | None = None,
+                  time_major: bool = False) -> jnp.ndarray:
     """|rFFT| of frames ``(..., n_fft)`` (or ``(..., span)``) via MXU matmuls.
 
     ``fold_window``: a *static* win_length to fold into the DFT matrices
@@ -219,6 +220,11 @@ def magnitude_dft(frames: jnp.ndarray, n_fft: int,
     ``support``: optional (offset, span) — frames hold only that sub-range of
     each nominal frame (everything else is an exact zero after windowing);
     DFT matrices are row-sliced to match. Numerically identical, fewer MACs.
+    ``time_major``: frames are ``(..., span, B)`` (sample axis second-to-
+    last) — used by the aug path, whose framing scan slices a transposed
+    ``(S, B)`` buffer so every frame is ONE contiguous block instead of B
+    strided row-chunks (measured −7 % on the aug program); output is then
+    ``(..., B, F)``.
 
     Precision: HIGHEST (fp32, ~0.001 dB max error vs float64 FFT) for the
     fidelity-critical clean path; HIGH (bf16x3, ~0.04 dB max error) is fine
@@ -230,9 +236,14 @@ def magnitude_dft(frames: jnp.ndarray, n_fft: int,
         C, S = _windowed_dft_matrices(n_fft, fold_window)
     else:
         C, S = _dft_matrices(n_fft)
-    assert frames.shape[-1] == C.shape[0], (frames.shape, C.shape)
-    re = jnp.einsum("...n,nf->...f", frames, C, precision=precision)
-    im = jnp.einsum("...n,nf->...f", frames, S, precision=precision)
+    if time_major:
+        assert frames.shape[-2] == C.shape[0], (frames.shape, C.shape)
+        re = jnp.einsum("...nb,nf->...bf", frames, C, precision=precision)
+        im = jnp.einsum("...nb,nf->...bf", frames, S, precision=precision)
+    else:
+        assert frames.shape[-1] == C.shape[0], (frames.shape, C.shape)
+        re = jnp.einsum("...n,nf->...f", frames, C, precision=precision)
+        im = jnp.einsum("...n,nf->...f", frames, S, precision=precision)
     return jnp.sqrt(re * re + im * im)
 
 
