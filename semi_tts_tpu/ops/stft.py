@@ -11,9 +11,11 @@ Parity targets:
     trim ``n_fft//2`` from both ends (NOLA condition assumed/checked).
 
 TPU-first design notes:
-  * Framing is a gather with statically-shaped index matrices, so the whole
-    wave->frames->rFFT->|.| pipeline compiles to one fused XLA program; the
-    rFFT itself is the XLA FFT op (fast on TPU).
+  * The whole wave->frames->|rDFT| pipeline compiles to one fused XLA
+    program. The rDFT is windowed-DFT MXU *matmuls* (`magnitude_dft`), not
+    the XLA FFT op, which runs far below the systolic array's rate here;
+    framing is shifted reshapes (static hop) or a scan of contiguous
+    `dynamic_slice`s (traced hop) — never an element gather.
   * ``hop``/``win_length`` may be *traced* scalars (per-item random
     time-stretch draws a new hop/win every batch): the frame gather uses
     dynamic start indices and the Hann window is evaluated as a masked
