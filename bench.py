@@ -46,7 +46,7 @@ def _best_of(fn, n=3):
     return best
 
 
-def _bench_tpu_featurizer(waves, lengths, iters=10):
+def _bench_tpu_featurizer(waves, lengths, iters=20):
     import jax
     import jax.numpy as jnp
 
@@ -99,8 +99,6 @@ def _bench_cpu_reference(waves, lengths, n_files=8):
                        window=win, center=True, pad_mode="reflect",
                        onesided=True, return_complex=True).abs()[0]
         m = fb @ y
-        for s in (y, m):
-            pass
         db = 20 * torch.log10(torch.clamp(m, min=1e-5)) - 20
         return torch.clamp((db + 100) / 100, 0, 1)
 
@@ -129,7 +127,7 @@ def _bench_cpu_reference(waves, lengths, n_files=8):
     return best
 
 
-def _bench_decoder(iters=12, batch_sizes=(64, 256)):
+def _bench_decoder(iters=24, batch_sizes=(64, 256)):
     """AR decoder mel-frames/sec/chip on the full-size Tacotron2 stack.
 
     The decode loop is weight-streaming-bound (~37 MB of bf16-converted
@@ -181,7 +179,7 @@ def _bench_decoder(iters=12, batch_sizes=(64, 256)):
     return rates, mfu
 
 
-def _bench_train_steps(iters=6):
+def _bench_train_steps(iters=12):
     """Full-size semi-supervised train-step wall times (paired /
     speech-first / text-first cycles, B=8 paired + B=8 unpaired, 6 s waves) —
     the TPU counterpart of the reference's only perf instrument, the
@@ -240,7 +238,7 @@ def _bench_train_steps(iters=6):
     return out, mfu_paired
 
 
-def _bench_griffin_lim(iters=8):
+def _bench_griffin_lim(iters=16):
     """Batched Griffin-Lim vocoder throughput (B=16 utterances of ~7.5 s,
     30 iterations — `src/audio.py:179-226`)."""
     import jax
