@@ -184,7 +184,6 @@ def _bench_train_steps(iters=12):
     speech-first / text-first cycles, B=8 paired + B=8 unpaired, 6 s waves) —
     the TPU counterpart of the reference's only perf instrument, the
     ``sec/step`` line (`src/util.py:35-43`)."""
-    import functools
 
     import jax
     import jax.numpy as jnp

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from os.path import basename
 
-import numpy as np
 import pandas as pd
 
 SEP = "\t"

@@ -8,7 +8,6 @@ hidden = enc_embed_dim // 2 per direction).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..ops.rnn import multi_lstm, multi_lstm_init
 from .common import batchnorm, batchnorm_init, conv1d, conv1d_init, dropout

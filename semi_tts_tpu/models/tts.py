@@ -11,7 +11,6 @@ from __future__ import annotations
 import dataclasses
 
 import jax
-import jax.numpy as jnp
 
 from .cbhg import cbhg_apply, cbhg_init
 from .common import linear, torch_linear_init

@@ -19,7 +19,6 @@ import dataclasses
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from .asr import ASRConfig, asr_apply, asr_init, asr_postnet_apply, asr_postnet_init
 from .common import xavier_normal_embedding_init

@@ -12,9 +12,7 @@ here so the whole update is one fused device program.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 GRAD_CLIP = 5.0  # `src/solver.py:21`

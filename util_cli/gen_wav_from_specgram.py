@@ -8,7 +8,6 @@ Griffin-Lim instead of one utterance at a time.
 """
 
 import argparse
-import json
 import os
 import sys
 from collections import defaultdict
