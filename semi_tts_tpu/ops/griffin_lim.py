@@ -19,7 +19,8 @@ from .features import GFL_ITER, inv_preemphasis
 from .stft import istft_reim, stft_reim
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "n_iter", "precision"))
+@partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "n_iter",
+                                   "precision", "refine_precision"))
 def griffin_lim(
     magnitude: jnp.ndarray,
     rng: jax.Array,
@@ -29,6 +30,7 @@ def griffin_lim(
     win_length: int,
     n_iter: int = GFL_ITER,
     precision=jax.lax.Precision.HIGH,
+    refine_precision=jax.lax.Precision.DEFAULT,
 ) -> jnp.ndarray:
     """Reconstruct waveforms from amplitude spectrograms.
 
@@ -44,24 +46,32 @@ def griffin_lim(
     phase step ``mag * exp(i*angle(z))`` becomes ``z * mag / |z|`` with the
     reference's ``angle(0) = 0`` convention (-> ``mag * 1``) kept exactly.
 
-    ``precision`` defaults to HIGH (bf16x3, ~1.5x faster): the resulting
-    waveform deviation is ~-52 dB relative — far below Griffin-Lim's own
-    phase-reconstruction artifacts. Pass HIGHEST for strict-parity audio.
+    Precision: Griffin-Lim is an iterative *phase* projection, so the
+    ``n_iter - 1`` refinement rounds run at ``refine_precision`` (default:
+    1-pass bf16 — measured 2.1x faster end-to-end) and only the final
+    analysis+synthesis runs at ``precision`` (default HIGH, bf16x3). On the
+    speech fixture the round-trip mel metrics are identical to all-HIGH
+    (corr 0.985 both, voiced-frame error 1.29 dB both, waveform deviation
+    0.9% — far below GL's own phase artifacts; `tools/proto_gl_mixed.py`).
+    For strict-parity audio pass ``precision=HIGHEST, refine_precision=
+    HIGHEST`` (the reference runs float64 numpy, `src/audio.py:207-226`).
     """
     magnitude = jnp.abs(magnitude)
     phases = jax.random.uniform(rng, magnitude.shape, minval=-jnp.pi, maxval=jnp.pi)
-    kw = dict(n_fft=n_fft, hop=hop, win_length=win_length, precision=precision)
-    x = istft_reim(magnitude * jnp.cos(phases), magnitude * jnp.sin(phases), **kw)
+    kw = dict(n_fft=n_fft, hop=hop, win_length=win_length)
 
-    def body(_, x):
-        re, im = stft_reim(x, **kw)
+    def body(x, prec):
+        re, im = stft_reim(x, precision=prec, **kw)
         r = jnp.sqrt(re * re + im * im)
         scale = magnitude / jnp.where(r > 0, r, 1.0)
         y_re = jnp.where(r > 0, re * scale, magnitude)
         y_im = jnp.where(r > 0, im * scale, 0.0)
-        return istft_reim(y_re, y_im, **kw)
+        return istft_reim(y_re, y_im, precision=prec, **kw)
 
-    return jax.lax.fori_loop(0, n_iter, body, x)
+    x = istft_reim(magnitude * jnp.cos(phases), magnitude * jnp.sin(phases),
+                   precision=refine_precision, **kw)
+    x = jax.lax.fori_loop(0, n_iter - 1, lambda _, x: body(x, refine_precision), x)
+    return body(x, precision)
 
 
 def specgram_to_waveform(
