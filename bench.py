@@ -127,7 +127,7 @@ def _bench_cpu_reference(waves, lengths, n_files=8):
     return best
 
 
-def _bench_decoder(iters=24, batch_sizes=(64, 256)):
+def _bench_decoder(iters=24, batch_sizes=(64, 256, 512)):
     """AR decoder mel-frames/sec/chip on the full-size Tacotron2 stack.
 
     The decode loop is weight-streaming-bound (~37 MB of bf16-converted
@@ -267,6 +267,54 @@ def _bench_griffin_lim(iters=16):
     return B / dt, dt
 
 
+def _bench_tts_e2e(iters=8, B=16, decode_steps=200):
+    """Full serving pipeline as ONE chained program: text -> codebook embed ->
+    Tacotron2 (AR decode + CBHG mel->linear) -> denormalize -> Griffin-Lim ->
+    waveform. The `--gen-wav` path (`train/gen_specgram.py:104-120`,
+    reference `bin/gen_specgram.py:89-129` + `src/audio.py:179-226`) at
+    serving batch; utterances are 600 mel frames (~7.5 s)."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from semi_tts_tpu.models import vqvae as V
+    from semi_tts_tpu.ops.griffin_lim import specgram_to_waveform
+
+    cfg, feat, phn_attr, params, state = g._build("full")
+    c = feat.cfg
+    U = 32
+    rng = np.random.RandomState(0)
+    text = np.zeros((B, U), np.int32)
+    text[:, : U - 2] = rng.randint(3, 43, size=(B, U - 2))
+    sid = jnp.asarray(rng.randint(0, 109, size=B).astype(np.int32))
+    text = jnp.asarray(text)
+
+    @jax.jit
+    def e2e(params, state, text, sid, key):
+        k1, k2 = jax.random.split(key)
+        lat = V.embed_text(params, cfg, phn_attr, text)
+        mel, lin, align, stop, _ = V.text_to_speech(
+            params, state, k1, cfg, lat, sid, decode_steps=decode_steps,
+            train=False, teacher=None, tf_rate=0.0)
+        amp = feat.linear_to_amp(lin)
+        return specgram_to_waveform(
+            amp, k2, n_fft=c.n_fft, hop=c.hop_length, win_length=c.win_length,
+            preemphasis_coeff=c.preemphasis_coeff)
+
+    @jax.jit
+    def chained(params, state, text, sid, key):
+        def body(i, s):
+            wav = e2e(params, state, text, sid, jax.random.fold_in(key, i))
+            return s + wav[0, 0]
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    key = jax.random.PRNGKey(0)
+    float(chained(params, state, text, sid, key))  # compile + warm
+    dt = _best_of(lambda: float(chained(params, state, text, sid, key))) / iters
+    audio_sec = B * decode_steps * cfg.n_frames_per_step * c.hop_length / c.sample_rate
+    return B / dt, audio_sec / dt
+
+
 def main():
     B, sec, sr = 128, 8.0, 22050
     rng = np.random.RandomState(0)
@@ -279,17 +327,23 @@ def main():
     dec_rates, dec_mfu = _bench_decoder()
     train_ms, train_mfu = _bench_train_steps()
     gl_rate, gl_dt = _bench_griffin_lim()
+    e2e_rate, e2e_rtf = _bench_tts_e2e()
 
     print(json.dumps({
         "metric": "featurization_mel_frames_per_sec",
+        # `value` is device-time-derived (frames / chained device seconds) —
+        # the figure that is stable across runs; vs_baseline divides by the
+        # co-measured host-CPU reference pipeline (volatile with host load)
         "value": round(tpu_rate, 1),
         "unit": "mel-frames/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
         "baseline_cpu_mel_frames_per_sec": round(cpu_rate, 1),
         "featurize_batch_ms": round(step_dt * 1e3, 2),
+        "featurization_mel_frames_per_device_sec": round(tpu_rate, 1),
         "featurizer_mfu_pct": round(100 * feat_mfu, 1),
         "ar_decoder_mel_frames_per_sec_per_chip": round(dec_rates[64], 1),
         "ar_decoder_mel_frames_per_sec_per_chip_b256": round(dec_rates[256], 1),
+        "ar_decoder_mel_frames_per_sec_per_chip_b512": round(dec_rates[512], 1),
         "ar_decoder_mfu_pct": round(100 * dec_mfu, 1),
         "train_step_ms_paired": round(train_ms["paired"] * 1e3, 1),
         "train_step_ms_speech_first": round(train_ms["speech_first"] * 1e3, 1),
@@ -297,6 +351,8 @@ def main():
         "train_step_mfu_pct": round(100 * train_mfu, 1),
         "griffin_lim_utt_per_sec": round(gl_rate, 1),
         "griffin_lim_batch_ms": round(gl_dt * 1e3, 1),
+        "tts_e2e_utt_per_sec": round(e2e_rate, 1),
+        "tts_e2e_realtime_factor": round(e2e_rtf, 1),
     }))
 
 

@@ -85,6 +85,13 @@ if paras.matmul_precision != "default":
 
     jax.config.update("jax_default_matmul_precision", paras.matmul_precision)
 
+# multi-host bring-up (env-driven; no-op single-process) — must precede the
+# first device query so jax.process_index()/process_count() are correct for
+# the data loaders' shard selection
+from semi_tts_tpu.parallel.mesh import init_distributed
+
+init_distributed()
+
 if paras.asr_decode:
     mode = "test"
     from semi_tts_tpu.train.asr_decode import VqvaeDecoder as Solver

@@ -3,7 +3,8 @@
 from __future__ import annotations
 
 
-def load_dataset(n_jobs, use_gpu, pin_memory, corpus, audio, inference_stage=False, seed=0):
+def load_dataset(n_jobs, use_gpu, pin_memory, corpus, audio, inference_stage=False, seed=0,
+                 shard_id=None, num_shards=None):
     """Assemble loaders + featurizer + tokenizer for a solver.
 
     Parity target: `/root/reference/src/data.py:13-79` — returns
@@ -12,7 +13,20 @@ def load_dataset(n_jobs, use_gpu, pin_memory, corpus, audio, inference_stage=Fal
     runs on device, so the loaders only carry raw padded waveforms.
     ``n_jobs``/``use_gpu``/``pin_memory`` are accepted for CLI compatibility
     (prefetch threading replaces worker processes).
+
+    Multi-host: ``shard_id``/``num_shards`` default to
+    ``jax.process_index()/process_count()`` (after `parallel.mesh.
+    init_distributed`), so each host's TRAIN loaders iterate an interleaved
+    slice of the identically-seeded shuffled batch stream. Dev/test loaders
+    stay unsharded — every host walks the full split so eval metrics and
+    logged artifacts are host-independent.
     """
+    if num_shards is None:
+        import jax
+
+        shard_id, num_shards = jax.process_index(), jax.process_count()
+    elif shard_id is None:
+        shard_id = 0
     from ..ops.features import AudioConfig, AudioFeaturizer
     from .corpus import create_dataset
     from .loader import TTSLoader
@@ -47,9 +61,11 @@ def load_dataset(n_jobs, use_gpu, pin_memory, corpus, audio, inference_stage=Fal
     def mk(ds, train):
         if ds is None:
             return None
-        return TTSLoader(ds, tokenizer, shuffle=train and not inference_stage,
-                         drop_last=train and not inference_stage,
-                         seed=seed, sample_rate=acfg.sample_rate)
+        train = train and not inference_stage
+        return TTSLoader(ds, tokenizer, shuffle=train, drop_last=train,
+                         seed=seed, sample_rate=acfg.sample_rate,
+                         shard_id=shard_id if train else 0,
+                         num_shards=num_shards if train else 1)
 
     unpair_set = mk(unpair_ds, True)
     pair_set = mk(pair_ds, True)

@@ -70,6 +70,8 @@ def griffin_lim(
 
     x = istft_reim(magnitude * jnp.cos(phases), magnitude * jnp.sin(phases),
                    precision=refine_precision, **kw)
+    if n_iter <= 0:  # 0 projections = the raw random-phase ISTFT
+        return x
     x = jax.lax.fori_loop(0, n_iter - 1, lambda _, x: body(x, refine_precision), x)
     return body(x, precision)
 

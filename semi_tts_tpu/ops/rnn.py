@@ -13,6 +13,8 @@ the b_hn-inside-r quirk) so unit tests can golden-check against torch.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,27 +59,100 @@ def lstm_cell(params, x, h, c, *, probe=None, stop_w=False):
     return h2, c2
 
 
-def _lstm_scan(params, xs, reverse=False):
-    """Run one LSTM direction over xs (B, T, D) -> (B, T, H).
+def _shift_prev(ys, reverse):
+    """Per-step 'previous output' tensor for a (T, B, H) scan output: the
+    carry each step consumed. Forward scans see ys[t-1] (zero at t=0);
+    reverse scans see ys[t+1] (zero at t=T-1)."""
+    z = jnp.zeros_like(ys[:1])
+    if reverse:
+        return jnp.concatenate([ys[1:], z], axis=0)
+    return jnp.concatenate([z, ys[:-1]], axis=0)
 
-    The x@W_ih projection for all T steps is one matmul outside the scan.
-    """
-    B = xs.shape[0]
-    H = params["w_hh"].shape[1]
-    x_proj = xs @ params["w_ih"].T + (params["b_ih"] + params["b_hh"])  # (B, T, 4H)
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lstm_rec(reverse: bool, w_hh, x_proj):
+    """LSTM recurrence over pre-projected inputs: x_proj (T, B, 4H) -> hs
+    (T, B, H). Biases and the input projection live OUTSIDE (hoisted by the
+    caller); only ``h @ w_hh.T`` runs per step.
+
+    Custom VJP (the sequence-scan counterpart of the decoder's gate-probe
+    trick, `models/decoder.py:91-127`): autodiff's scan transpose carries the
+    (4H, H) ``w_hh`` gradient accumulator through HBM every backward step —
+    the pathology measured at ~10.5 ms of a 12.5 ms decoder backward on v5e.
+    Here the backward scan carries only (B, H) cotangents, emits per-step
+    gate gradients, and rebuilds ``dW_hh = Σₜ dgatesₜ ⊗ h_{t-1}`` as ONE
+    batched einsum outside the loop. The gate activations are *recomputed* in
+    the backward from the saved hs via a single big matmul (cheaper than
+    storing a (T, B, 4H) residual)."""
+    hs, _ = _lstm_rec_fwd(reverse, w_hh, x_proj)
+    return hs
+
+
+def _lstm_rec_fwd(reverse, w_hh, x_proj):
+    T, B, H4 = x_proj.shape
+    H = H4 // 4
 
     def step(carry, xp):
         h, c = carry
-        gates = xp + h @ params["w_hh"].T
+        gates = xp + h @ w_hh.T
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
-        return (h2, c2), h2
+        return (h2, c2), (h2, c2)
 
-    init = (jnp.zeros((B, H), xs.dtype), jnp.zeros((B, H), xs.dtype))
+    init = (jnp.zeros((B, H), x_proj.dtype), jnp.zeros((B, H), x_proj.dtype))
     # note: scan unroll was measured at 0% gain on v5e (XLA pipelines loop
     # bodies); kept at default to keep compiles fast
-    _, hs = jax.lax.scan(step, init, jnp.swapaxes(x_proj, 0, 1), reverse=reverse)
+    _, (hs, cs) = jax.lax.scan(step, init, x_proj, reverse=reverse)
+    return hs, (w_hh, x_proj, hs, cs)
+
+
+def _lstm_rec_bwd(reverse, res, g_hs):
+    w_hh, x_proj, hs, cs = res
+    h_prev = _shift_prev(hs, reverse)
+    c_prev = _shift_prev(cs, reverse)
+    # recompute all gate activations with ONE big (T*B, H) x (H, 4H) matmul
+    gates = x_proj + h_prev @ w_hh.T
+    ia, fa, ga, oa = jnp.split(gates, 4, axis=-1)
+    ia, fa, ga, oa = (jax.nn.sigmoid(ia), jax.nn.sigmoid(fa),
+                      jnp.tanh(ga), jax.nn.sigmoid(oa))
+    tc = jnp.tanh(cs)
+
+    def step(carry, xs_t):
+        dh_rec, dc_rec = carry
+        gy, i_t, f_t, g_t, o_t, tc_t, cp_t = xs_t
+        dh = gy + dh_rec
+        dc = dc_rec + dh * o_t * (1.0 - tc_t * tc_t)
+        dgates = jnp.concatenate(
+            [dc * g_t * i_t * (1.0 - i_t),
+             dc * cp_t * f_t * (1.0 - f_t),
+             dc * i_t * (1.0 - g_t * g_t),
+             dh * tc_t * o_t * (1.0 - o_t)], axis=-1)
+        return (dgates @ w_hh, dc * f_t), dgates
+
+    B, H = hs.shape[1], hs.shape[2]
+    zero = jnp.zeros((B, H), hs.dtype)
+    # the backward recurrence runs opposite to the forward's time direction
+    _, dgates = jax.lax.scan(step, (zero, zero),
+                             (g_hs, ia, fa, ga, oa, tc, c_prev),
+                             reverse=not reverse)
+    dw_hh = jnp.einsum("tbg,tbh->gh", dgates, h_prev,
+                       precision=jax.lax.Precision.HIGH)
+    return dw_hh, dgates
+
+
+_lstm_rec.defvjp(_lstm_rec_fwd, _lstm_rec_bwd)
+
+
+def _lstm_scan(params, xs, reverse=False):
+    """Run one LSTM direction over xs (B, T, D) -> (B, T, H).
+
+    The x@W_ih projection for all T steps is one matmul outside the scan
+    (so its dW is one matmul in the backward too); the recurrence runs in
+    `_lstm_rec`, whose custom VJP keeps the w_hh gradient out of the scan
+    carry."""
+    x_proj = xs @ params["w_ih"].T + (params["b_ih"] + params["b_hh"])  # (B, T, 4H)
+    hs = _lstm_rec(reverse, params["w_hh"], jnp.swapaxes(x_proj, 0, 1))
     return jnp.swapaxes(hs, 0, 1)
 
 
@@ -123,14 +198,27 @@ def gru_init(key, input_dim: int, hidden_dim: int):
     }
 
 
-def _gru_scan(params, xs, reverse=False):
-    """One GRU direction over (B, T, D) -> (B, T, H), torch gate math."""
-    B = xs.shape[0]
-    H = params["w_hh"].shape[1]
-    x_proj = xs @ params["w_ih"].T + params["b_ih"]  # (B, T, 3H)
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gru_rec(reverse: bool, w_hh, b_hh, x_proj):
+    """GRU recurrence over pre-projected inputs: x_proj (T, B, 3H) -> hs
+    (T, B, H). ``b_hh`` stays inside because torch applies the reset gate to
+    ``h @ w_hh.T + b_hh`` *including* b_hn (the b_hn-inside-r quirk).
+
+    Custom VJP: same batched-dW rationale as `_lstm_rec` — the backward scan
+    carries only a (B, H) cotangent and emits per-step dh2; every gate
+    gradient is linear in dh2 with coefficients precomputable outside the
+    loop, so ``dW_hh``/``db_hh`` become one einsum/sum over the stacked
+    hidden-side gate gradients."""
+    hs, _ = _gru_rec_fwd(reverse, w_hh, b_hh, x_proj)
+    return hs
+
+
+def _gru_rec_fwd(reverse, w_hh, b_hh, x_proj):
+    T, B, H3 = x_proj.shape
+    H = H3 // 3
 
     def step(h, xp):
-        hp = h @ params["w_hh"].T + params["b_hh"]
+        hp = h @ w_hh.T + b_hh
         xr, xz, xn = jnp.split(xp, 3, axis=-1)
         hr, hz, hn = jnp.split(hp, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
@@ -139,8 +227,52 @@ def _gru_scan(params, xs, reverse=False):
         h2 = (1.0 - z) * nn_ + z * h
         return h2, h2
 
-    init = jnp.zeros((B, H), xs.dtype)
-    _, hs = jax.lax.scan(step, init, jnp.swapaxes(x_proj, 0, 1), reverse=reverse)
+    init = jnp.zeros((B, H), x_proj.dtype)
+    _, hs = jax.lax.scan(step, init, x_proj, reverse=reverse)
+    return hs, (w_hh, b_hh, x_proj, hs)
+
+
+def _gru_rec_bwd(reverse, res, g_hs):
+    w_hh, b_hh, x_proj, hs = res
+    h_prev = _shift_prev(hs, reverse)
+    # recompute gate activations: ONE big matmul + elementwise
+    hp = h_prev @ w_hh.T + b_hh
+    xr, xz, xn = jnp.split(x_proj, 3, axis=-1)
+    hr, hz, hn = jnp.split(hp, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    # every gate gradient is (coefficient ⊙ dh2): precompute coefficients
+    dn_c = (1.0 - z) * (1.0 - n * n)          # d(n pre-act)/d(dh2)
+    cr = dn_c * hn * r * (1.0 - r)            # reset-gate pre-act coeff
+    cz = (h_prev - n) * z * (1.0 - z)         # update-gate pre-act coeff
+    coef_h = jnp.concatenate([cr, cz, dn_c * r], axis=-1)  # hidden-side (r quirk)
+
+    def step(dh_rec, xs_t):
+        gy, z_t, ch_t = xs_t
+        dh2 = gy + dh_rec
+        dhp = ch_t * jnp.concatenate([dh2, dh2, dh2], axis=-1)
+        return dh2 * z_t + dhp @ w_hh, dh2
+
+    B, H = hs.shape[1], hs.shape[2]
+    _, dh2 = jax.lax.scan(step, jnp.zeros((B, H), hs.dtype),
+                          (g_hs, z, coef_h), reverse=not reverse)
+    dh2_3 = jnp.concatenate([dh2, dh2, dh2], axis=-1)
+    dhp_all = coef_h * dh2_3
+    dx_proj = jnp.concatenate([cr, cz, dn_c], axis=-1) * dh2_3
+    dw_hh = jnp.einsum("tbg,tbh->gh", dhp_all, h_prev,
+                       precision=jax.lax.Precision.HIGH)
+    db_hh = jnp.sum(dhp_all, axis=(0, 1))
+    return dw_hh, db_hh, dx_proj
+
+
+_gru_rec.defvjp(_gru_rec_fwd, _gru_rec_bwd)
+
+
+def _gru_scan(params, xs, reverse=False):
+    """One GRU direction over (B, T, D) -> (B, T, H), torch gate math."""
+    x_proj = xs @ params["w_ih"].T + params["b_ih"]  # (B, T, 3H)
+    hs = _gru_rec(reverse, params["w_hh"], params["b_hh"], jnp.swapaxes(x_proj, 0, 1))
     return jnp.swapaxes(hs, 0, 1)
 
 

@@ -136,6 +136,14 @@ def frame_signal_static(x_padded: jnp.ndarray, hop: int, num_frames: int,
     ``dynamic_slice`` form lowers to a sequential while loop on TPU
     (~1.7 us/frame of loop overhead — 30 ms across a 30-iteration
     Griffin-Lim of 600-frame utterances); this is a handful of fused copies.
+
+    Out-of-bounds behavior: frames whose tail extends past ``x_padded`` are
+    ZERO-padded here, whereas the traced-hop path's ``dynamic_slice`` CLAMPS
+    the start (duplicating the final samples). All current callers size
+    ``num_frames`` so the last frame is in-bounds (centered STFT framing),
+    where the two paths are identical; a future caller overrunning the pad
+    gets zeros from this path, which matches a zero-padded signal and is the
+    saner convention.
     """
     off, span = support
     B = x_padded.shape[0]

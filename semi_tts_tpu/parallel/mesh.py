@@ -19,10 +19,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def init_distributed(coordinator=None, num_processes=None, process_id=None):
-    """Multi-host bring-up (no-op when single-process)."""
+    """Multi-host bring-up (no-op when single-process).
+
+    Env-driven when called with no arguments (the CLI path, `main.py`):
+    ``SEMI_TTS_NUM_PROCESSES`` / ``SEMI_TTS_PROCESS_ID`` /
+    ``SEMI_TTS_COORDINATOR`` select the process grid; on TPU pods where the
+    runtime publishes its own cluster metadata, set
+    ``SEMI_TTS_NUM_PROCESSES=auto`` to let ``jax.distributed.initialize()``
+    autodetect everything. Must run before the first device query. Returns
+    True when a multi-process runtime was initialized."""
+    import os
+
+    env_n = os.environ.get("SEMI_TTS_NUM_PROCESSES", "")
+    if num_processes is None and env_n:
+        if env_n.lower() == "auto":
+            jax.distributed.initialize()
+            return True
+        num_processes = int(env_n)
+        process_id = int(os.environ.get("SEMI_TTS_PROCESS_ID", "0"))
+        coordinator = os.environ.get("SEMI_TTS_COORDINATOR", "localhost:12321")
     if num_processes and num_processes > 1:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes, process_id=process_id)
+        return True
+    return False
 
 
 def make_mesh(n_devices=None, *, model_parallel=1, devices=None) -> Mesh:

@@ -104,12 +104,32 @@ def load_subtree(path, subtree_key, _ckpt=None):
     return node
 
 
-def apply_pretrained(params, pretrained: dict):
-    """Graft pretrained subtrees into freshly-initialized params.
+def _walk(tree, parts):
+    """Descend ``parts`` in a nested dict; returns (parent, leaf_key) or None
+    if any segment is missing."""
+    node = tree
+    for p in parts[:-1]:
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    if not isinstance(node, dict) or parts[-1] not in node:
+        return None
+    return node, parts[-1]
+
+
+def apply_pretrained(params, pretrained: dict, state=None):
+    """Graft pretrained subtrees into freshly-initialized params (and state).
 
     ``pretrained``: mapping subtree_key -> checkpoint path (empty/None values
     skipped, as the reference treats '' as disabled). Each distinct file is
     loaded once even when several keys graft from it (decoder + postnet).
+
+    ``state``: the model's non-param state pytree (BatchNorm running stats).
+    torch's ``load_state_dict`` carries running stats along with parameters
+    (`src/vqvae.py:71-90`); when the checkpoint's state tree has the same
+    subtree path AND the target ``state`` does too, it is grafted likewise.
+    Returns ``params`` alone (back-compat) or ``(params, state)`` when
+    ``state`` is passed.
     """
     loaded = {}
     for key, path in (pretrained or {}).items():
@@ -127,4 +147,15 @@ def apply_pretrained(params, pretrained: dict):
         jax.tree_util.tree_map(lambda a, b: None if np.shape(a) == np.shape(b) else
                                (_ for _ in ()).throw(ValueError("shape mismatch")), ref, sub)
         node[parts[-1]] = jax.tree_util.tree_map(lambda a: np.asarray(a), sub)
-    return params
+
+        if state is not None:
+            src = _walk(loaded[path].get("state") or {}, parts)
+            dst = _walk(state, parts)
+            if src is not None and dst is not None:
+                s_sub = src[0][src[1]]
+                jax.tree_util.tree_map(
+                    lambda a, b: None if np.shape(a) == np.shape(b) else
+                    (_ for _ in ()).throw(ValueError("state shape mismatch")),
+                    dst[0][dst[1]], s_sub)
+                dst[0][dst[1]] = jax.tree_util.tree_map(np.asarray, s_sub)
+    return params if state is None else (params, state)

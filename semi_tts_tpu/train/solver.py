@@ -113,8 +113,10 @@ class BaseSolver:
         else:
             self.log.add_scalars(log_name, log_value, self.step)
 
-    def save_checkpoint_triple(self, f_name, score, *, params, state, opt_state):
+    def save_checkpoint_triple(self, f_name, score, *, params, state, opt_state,
+                               extra=None):
         path = os.path.join(self.ckpdir, f_name)
-        save_checkpoint(path, params=params, state=state, opt_state=opt_state, step=self.step)
+        save_checkpoint(path, params=params, state=state, opt_state=opt_state,
+                        step=self.step, extra=extra)
         self.verbose("Saved checkpoint (step = {}, score = {:.2f}) and status @ {}".format(
             human_format(self.step), score, path))

@@ -372,8 +372,11 @@ class StepBuilder:
         def step(params, state, rng, ctr, waves, wave_len, text, sid, margin_frames=0):
             cfg, r = self.cfg, self.r
             rng = jax.random.fold_in(rng, ctr)
-            k1, k2 = jax.random.split(rng)
-            mel, linear, _, flen, _ = self._features(k1, waves, wave_len, need_aug=False)
+            # distinct keys per consumer: eval has no dropout/aug today, but
+            # key reuse across _features and the ASR would correlate any
+            # randomness a future config turns on
+            k0, k1, k2 = jax.random.split(rng, 3)
+            mel, linear, _, flen, _ = self._features(k0, waves, wave_len, need_aug=False)
             B = mel.shape[0]
             p_code, _, post_prob, _ = V.speech_to_text(
                 params, state, k1, cfg, self.phn_attr, mel, paired_bs=B, train=False)

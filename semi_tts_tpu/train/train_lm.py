@@ -15,8 +15,9 @@ models in `src/lm.py:16-138`; upstream the module is dead code — SURVEY.md §2
   ``{"codebook": {"learnable_table": ...}}`` — the reference's codebook
   graft loads exactly the embedding table (`src/embed.py:41-48`).
 
-Note (PARITY): torch's ``load_state_dict`` would also carry BN running
-stats; our grafts are parameter-only (BN state restarts fresh).
+The checkpoint's state tree mirrors the model-tree prefix, so
+``apply_pretrained`` grafts BN running stats along with parameters —
+matching torch ``load_state_dict`` semantics (`src/vqvae.py:71-90`).
 """
 
 from __future__ import annotations
@@ -221,15 +222,20 @@ class LmTrainer(VqvaeTrainer):
 
         if self.lm_mode == "speech":
             # audiolm params are exactly {"decoder", "postnet"} — the VQVAE
-            # tts subtrees `apply_pretrained` grafts from 'tts/...'
+            # tts subtrees `apply_pretrained` grafts from 'tts/...'; the
+            # state tree mirrors the same prefix so BN running stats graft
+            # along with the parameters (torch load_state_dict semantics,
+            # `src/vqvae.py:71-90`)
             model = {"tts": self.lm_params}
+            state = {"tts": self.lm_state}
             fname = "best_mel.pth"  # reference's pretrained_tts filename
         else:
             model = {"codebook": {"learnable_table": self.lm_params["learnable_table"]},
                      "textlm": self.lm_params}
+            state = self.lm_state
             fname = "best_acc.pth"  # reference's pretrained_emb filename
         path = os.path.join(self.ckpdir, fname)
-        save_checkpoint(path, params=model, state=self.lm_state,
+        save_checkpoint(path, params=model, state=state,
                         opt_state=self.opt_state, step=self.step)
         self.verbose("Saved {} LM checkpoint (step = {}, dev = {:.3f}) @ {}".format(
             self.lm_mode, human_format(self.step), score, path))

@@ -118,7 +118,8 @@ class VqvaeTrainer(BaseSolver):
         self.params, self.state = V.vqvae_init(
             key, self.model_cfg,
             None if self.phn_attr is None else jax.numpy.asarray(self.phn_attr))
-        self.params = apply_pretrained(self.params, pretrained)
+        self.params, self.state = apply_pretrained(self.params, pretrained,
+                                                   state=self.state)
 
         self.mesh = self._make_mesh()
         if self.mesh is not None:
@@ -182,8 +183,21 @@ class VqvaeTrainer(BaseSolver):
                     lambda t, v: jax.device_put(v, t.sharding)
                     if hasattr(t, "sharding") else v, template, self.opt_state)
             self.step = ckpt["global_step"]
+            # restore best-metric watermarks so a resumed run cannot
+            # re-checkpoint worse-than-best models (the reference restores
+            # only model/optim/step, `bin/train_vqvae.py:104-109` — improved
+            # here via the npz `extra` field)
+            if ckpt.get("extra"):
+                self.best_tts_loss = ckpt["extra"].get("best_tts_loss", self.best_tts_loss)
+                self.best_per = ckpt["extra"].get("best_per", self.best_per)
             self.verbose("Load ckpt from {}, restarting at step {}".format(
                 self.paras.load, self.step))
+
+    def save_checkpoint_triple(self, f_name, score, **kw):
+        """Carry the best-metric watermarks in every checkpoint's `extra`."""
+        kw.setdefault("extra", {"best_tts_loss": float(self.best_tts_loss),
+                                "best_per": float(self.best_per)})
+        super().save_checkpoint_triple(f_name, score, **kw)
 
     # ------------------------------------------------ training loop
     def _next_rng(self):

@@ -63,6 +63,127 @@ def synthesize_speech(duration, sr=SR, seed=0, f0=120.0):
     return (0.4 * out / max(peak, 1e-6)).astype(np.float32)
 
 
+def phone_acoustics(phone, seed=1234):
+    """Deterministic acoustic recipe for one phoneme: a (kind, params) pair
+    derived by hashing the phone string. Vowel-ish phones get a distinct
+    formant triple; consonant-ish ones a distinct noise band. Used by
+    `synthesize_from_phonemes` so audio is a *rendering of the transcript* —
+    the speech<->text mapping becomes learnable (and dev PER meaningful),
+    which the random-transcript corpus of `make_synthetic_corpus` is not."""
+    import zlib
+
+    # zlib.crc32 is process-stable (python's hash() is salted per process)
+    h = zlib.crc32(f"{phone}|{seed}".encode()) % (1 << 30)
+    rng = np.random.RandomState(h)
+    if phone in (".",):
+        return ("sil", {})
+    vowelish = {"aa", "ae", "ah", "ao", "aw", "ay", "eh", "er", "ey", "ih",
+                "iy", "ow", "oy", "uh", "uw", "l", "r", "w", "y", "m", "n", "ng"}
+    if phone in vowelish:
+        f1 = rng.uniform(250, 850)
+        f2 = rng.uniform(f1 + 300, 2400)
+        f3 = rng.uniform(f2 + 300, 3200)
+        return ("voiced", {"formants": (f1, f2, f3)})
+    # fricatives/stops: band-limited noise with a distinct center
+    return ("noise", {"center": rng.uniform(1500, 8000), "bw": rng.uniform(500, 2000)})
+
+
+def synthesize_from_phonemes(phones, sr=SR, seed=0, f0=120.0,
+                             phn_dur=0.09):
+    """Render a phoneme sequence to audio deterministically (per-phone
+    acoustics from `phone_acoustics`, fixed ~phn_dur per phone, speaker f0).
+    The inverse problem (audio -> phonemes) is thus well-posed: the corpus
+    built on this generator gives semi-supervised cycle experiments a real
+    learnable mapping."""
+    from scipy.signal import lfilter
+
+    rng = np.random.RandomState(seed)
+    seg_n = int(phn_dur * sr)
+    out = []
+    for ph in phones:
+        kind, prm = phone_acoustics(ph)
+        n = seg_n + rng.randint(-seg_n // 8, seg_n // 8 + 1)
+        if kind == "sil":
+            out.append(np.zeros(n))
+            continue
+        if kind == "noise":
+            sig = rng.randn(n)
+            r = np.exp(-np.pi * prm["bw"] / sr)
+            th = 2 * np.pi * prm["center"] / sr
+            sig = lfilter([1.0], [1.0, -2 * r * np.cos(th), r * r], sig)
+            sig *= 0.15 / max(np.abs(sig).max(), 1e-6)
+        else:
+            i = np.arange(n)
+            f = f0 * (1.0 + 0.06 * np.sin(2 * np.pi * 2.3 * i / sr)
+                      + rng.uniform(-0.05, 0.05))
+            phase = np.cumsum(f) / sr
+            src = np.maximum(0.0, np.sin(2 * np.pi * phase)) ** 4
+            sig = np.diff(src, prepend=0.0)
+            for fc, bw in zip(prm["formants"], (60, 90, 120)):
+                r = np.exp(-np.pi * bw / sr)
+                th = 2 * np.pi * fc / sr
+                sig = lfilter([1.0], [1.0, -2 * r * np.cos(th), r * r], sig)
+        ramp = max(min(n // 6, int(0.008 * sr)), 1)
+        env = np.ones(n)
+        env[:ramp] = np.linspace(0, 1, ramp)
+        env[-ramp:] = np.linspace(1, 0, ramp)
+        out.append(sig * env)
+    wav = np.concatenate(out) if out else np.zeros(seg_n)
+    peak = np.abs(wav).max()
+    return (0.4 * wav / max(peak, 1e-6)).astype(np.float32)
+
+
+def make_conditioned_corpus(root, n_per_split=(8, 64, 16, 4), seed=0,
+                            inventory=10, utt_phones=(6, 12), batch_size=8):
+    """Corpus whose audio is synthesized FROM its transcripts
+    (`synthesize_from_phonemes`) over a small phoneme inventory — the
+    learnable-mapping counterpart of `make_synthetic_corpus`, built for
+    semi-supervised cycle-convergence experiments (paired split small,
+    unpaired large)."""
+    rng = np.random.RandomState(seed)
+    inv = [p for p in VOCAB if p != "."][:inventory]
+    audio_dir = join(root, "audio-corpus")
+    speakers = ["p001", "p002"]
+    spkr_map = {s: i for i, s in enumerate(speakers)}
+    spkr_map["lj"] = len(speakers)
+
+    rows = ["{},speaker,split,duration".format("")]
+    map_rows = ["\tphn_seq\tspkr"]
+    splits = ["paired", "unpaired", "dev", "test"]
+    fid_n = 0
+    f0s = {"p001": 110.0, "p002": 190.0}
+    for split, n in zip(splits, n_per_split):
+        for _ in range(n):
+            spk = speakers[fid_n % 2]
+            fid = f"{spk}_{fid_n:03d}"
+            fid_n += 1
+            phones = list(rng.choice(inv, size=rng.randint(*utt_phones)))
+            wav = synthesize_from_phonemes(phones, seed=rng.randint(1 << 30),
+                                           f0=f0s[spk])
+            os.makedirs(join(audio_dir, spk), exist_ok=True)
+            wavio.write(join(audio_dir, spk, fid + ".wav"), wav, SR)
+            rows.append(f"{fid},{spk},{split},{len(wav) / SR:.2f}")
+            map_rows.append(f"{fid}\t{' '.join(phones)}\t{spk}")
+
+    with open(join(root, "partition.csv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    with open(join(root, "map_table.csv"), "w") as f:
+        f.write("\n".join(map_rows) + "\n")
+    with open(join(root, "spkr.json"), "w") as f:
+        json.dump(spkr_map, f)
+
+    return {
+        "name": "vctk",
+        "path": audio_dir,
+        "bucketing": False,
+        "batch_size": batch_size,
+        "spkr_map": join(root, "spkr.json"),
+        "partition_table": join(root, "partition.csv"),
+        "map_table": join(root, "map_table.csv"),
+        "vocab_file": join(REPO, "data/cmu_phn.vocab"),
+    }
+
+
 def make_synthetic_corpus(root, n_per_split=(4, 4, 2, 2), seed=0):
     """Create wavs + partition table + spkr map + g2p map table under root.
 

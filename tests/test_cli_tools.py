@@ -113,7 +113,7 @@ def test_g2p_tools_to_tokenizer_chain(tmp_path):
     assert json.load(open(spkr_json)) == {"p225": 0, "p226": 1}
 
 
-def test_g2p_rule_fallback_offline_chain(tmp_path):
+def test_g2p_rule_fallback_offline_chain(tmp_path, monkeypatch):
     """The built-in RuleG2p fallback (--fallback-rules) generates a usable
     map table with NO external G2P dependency: every emitted phone reduces
     into the 39-phone set and the table feeds the tokenizer."""
@@ -128,7 +128,10 @@ def test_g2p_rule_fallback_offline_chain(tmp_path):
     from g2p_common import (PHONEME_REDUCE_MAPPING, RuleG2p, load_g2p,
                             reduce_phonemes)
 
-    g2p = load_g2p(fallback_rules=True)  # g2p_en absent in this env
+    # force the ImportError branch even on hosts where g2p_en/nltk exist
+    monkeypatch.setitem(sys.modules, "nltk", None)
+    monkeypatch.setitem(sys.modules, "g2p_en", None)
+    g2p = load_g2p(fallback_rules=True)
     assert isinstance(g2p, RuleG2p)
 
     # totality: arbitrary text never raises and always reduces

@@ -111,3 +111,63 @@ def test_loader_multihost_sharding(tmp_path):
     s1 = [b.fids for b in TTSLoader(ds, tok, shuffle=False, drop_last=True, seed=0,
                                     shard_id=1, num_shards=2)]
     assert s0 + s1 == all_b  # interleaved, disjoint, complete
+
+
+def test_conditioned_corpus_renders_transcripts(tmp_path):
+    """`make_conditioned_corpus` audio is a deterministic rendering of its
+    transcript (the learnable-mapping fixture behind tools/cycle_check.py):
+    same phones -> same waveform; different phones -> different acoustics;
+    duration tracks transcript length."""
+    from helpers import phone_acoustics, synthesize_from_phonemes
+
+    a = synthesize_from_phonemes(["aa", "iy", "s"], seed=3)
+    b = synthesize_from_phonemes(["aa", "iy", "s"], seed=3)
+    np.testing.assert_array_equal(a, b)
+    c = synthesize_from_phonemes(["uw", "sh", "eh"], seed=3)
+    assert a.shape != c.shape or not np.allclose(a, c)
+    # phone classes map to distinct acoustics (vowel -> formants, fric -> noise)
+    kind_a, prm_a = phone_acoustics("aa")
+    kind_s, prm_s = phone_acoustics("s")
+    assert kind_a == "voiced" and kind_s == "noise"
+    assert phone_acoustics("aa") == phone_acoustics("aa")
+    long = synthesize_from_phonemes(["aa"] * 10, seed=0)
+    short = synthesize_from_phonemes(["aa"] * 3, seed=0)
+    assert len(long) > 2 * len(short)
+
+    from helpers import make_conditioned_corpus
+
+    corpus = make_conditioned_corpus(str(tmp_path), n_per_split=(4, 6, 2, 2))
+    up, pr, dv, ts, _ = create_dataset(**corpus, inference_stage=True)
+    assert len(pr) == 4 and len(up) == 6 and len(dv) == 2
+
+
+def test_load_dataset_wires_multihost_shards(tmp_path):
+    """`load_dataset(shard_id=, num_shards=)` shards the TRAIN loaders only:
+    pair/unpair streams across fake hosts are disjoint and jointly complete,
+    while every host sees the identical full dev split. Defaults come from
+    jax.process_index()/process_count() (wired by main.py's
+    init_distributed)."""
+    from helpers import tiny_config
+    from semi_tts_tpu.data import load_dataset
+
+    cfg = tiny_config(str(tmp_path))["data"]
+
+    def fids(loader):
+        return [b.fids for b in loader]
+
+    def mk(**kw):
+        return load_dataset(0, False, False, cfg["corpus"], cfg["audio"],
+                            seed=0, **kw)
+
+    up_all, pr_all, dv_all, *_ = mk(num_shards=1)
+    host0 = mk(shard_id=0, num_shards=2)
+    host1 = mk(shard_id=1, num_shards=2)
+    for k in (0, 1):  # unpair & pair train loaders shard
+        a, b, full = fids(host0[k]), fids(host1[k]), fids((up_all, pr_all)[k])
+        assert a and b and not (set(map(tuple, a)) & set(map(tuple, b)))
+        assert sorted(map(tuple, a + b)) == sorted(map(tuple, full))
+    # dev stays unsharded: identical on every host
+    assert fids(host0[2]) == fids(host1[2]) == fids(dv_all)
+    # default shard args resolve from the jax process env (single-process: 1)
+    d_up, d_pr, *_ = mk()
+    assert d_pr.num_shards == 1 and d_pr.shard_id == 0

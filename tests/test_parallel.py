@@ -133,6 +133,43 @@ def test_trainer_mesh_e2e(tmp_path):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+def test_trainer_mesh_with_sharded_loader(tmp_path, monkeypatch):
+    """Multi-host wiring end-to-end: with a faked 2-process jax environment
+    the trainer's load_dataset shards its train loaders by
+    process_index/process_count, and the mesh train loop consumes the local
+    shard (this host sees half the batch stream; dev stays full)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from helpers import make_paras, tiny_config
+
+    import semi_tts_tpu.data as data_mod
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    root = str(tmp_path)
+    cfg = tiny_config(root, bone="seperate", unpair_speech=10.0, max_step=2,
+                      valid_step=10**6)
+    from semi_tts_tpu.train.train_vqvae import VqvaeTrainer
+
+    paras = make_paras(root)
+    paras.mesh = "2x1"
+    solver = VqvaeTrainer(cfg, paras, "train")
+    solver.load_data()
+    assert solver.pair_set.shard_id == 1 and solver.pair_set.num_shards == 2
+    assert solver.unpair_set.num_shards == 2
+    assert solver.dev_set.num_shards == 1  # eval unsharded on every host
+    assert len(list(solver.pair_set)) < len(list(
+        data_mod.load_dataset(0, False, False, cfg["data"]["corpus"],
+                              cfg["data"]["audio"], num_shards=1)[1]))
+    solver.set_model()
+    solver.exec()
+    assert solver.step >= 2
+    leaves = jax.tree_util.tree_leaves(solver.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
 def test_replicate():
     mesh = make_mesh(4)
     t = replicate({"a": jnp.ones(3)}, mesh)

@@ -78,6 +78,16 @@ def test_graft_and_finetune(pretrained_ckpts):
     enc_warm = jax.tree_util.tree_leaves(warm.params["tts"]["encoder"])
     for a, b in zip(enc_cold, enc_warm):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...and the graft carries BN *running stats* like torch load_state_dict
+    # (`src/vqvae.py:71-90`): the warm postnet state equals the AudioLM's
+    if "postnet" in warm.state["tts"]:
+        st_warm = jax.tree_util.tree_leaves(warm.state["tts"]["postnet"])
+        st_lm = jax.tree_util.tree_leaves(audio.lm_state["postnet"])
+        assert any(not np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(jax.tree_util.tree_leaves(cold.state["tts"]["postnet"]),
+                                   st_lm))  # pretraining actually moved the stats
+        for a, b in zip(st_warm, st_lm):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # fine-tuning runs from the graft
     warm.exec()

@@ -90,6 +90,16 @@ def test_resume_from_checkpoint(supervised_run):
     s2.load_data()
     s2.set_model()
     assert s2.step >= 1  # resumed
+    # best-metric watermarks travel in the checkpoint `extra` so a resumed
+    # run cannot re-checkpoint worse-than-best models (improves on the
+    # reference, which restores only model/optim/step). The loaded ckpt
+    # carries the watermarks as of ITS save time.
+    from semi_tts_tpu.train.checkpoint import load_checkpoint
+
+    extra = load_checkpoint(ckpts[-1])["extra"]
+    assert extra is not None and "best_tts_loss" in extra and "best_per" in extra
+    assert s2.best_tts_loss == extra["best_tts_loss"] < 100.0
+    assert s2.best_per == extra["best_per"]
     s2.exec()
     assert s2.step >= s2.max_step
 

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Semi-supervised CYCLE convergence evidence (VERDICT r2 item 2).
+
+The reference's reason to exist is cycle training
+(`/root/reference/bin/train_vqvae.py:137-248`): speech-first and text-first
+unpaired cycles coupled through the shared codebook. `tools/overfit_check.py`
+proves the supervised path learns; this tool proves the cycles do:
+
+  * corpus: `tests/helpers.make_conditioned_corpus` — audio is synthesized
+    deterministically FROM its phoneme transcript over a small inventory, so
+    the speech<->text mapping is learnable and dev PER is meaningful
+    (unlike the random-transcript fixture corpus).
+  * run A ("cycles"): l2 codebook + unpaired speech AND text cycles at the
+    reference's weights, small paired split + large unpaired split.
+  * run B ("control"): identical config/seed/steps, unpaired weights 0
+    (paired-only; the loop then compiles the paired-only step).
+
+PASS requires: unpaired speech-recon and unpaired-text CTC losses decrease,
+`unpair_ok` engages (the all-blank escape is NOT permanently gated), and the
+cycles run's dev PER beats the paired-only control at equal steps.
+
+Usage: python tools/cycle_check.py [--steps 3000] [--cpu] [--json-out path]
+Prints one JSON line; append the result to docs/convergence_evidence.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step):
+    from helpers import make_conditioned_corpus, tiny_config
+
+    cfg = tiny_config(root, bone="l2", unpair_speech=unpair_speech,
+                      unpair_text=unpair_text, max_step=steps,
+                      valid_step=valid_step)
+    cfg["data"]["corpus"] = make_conditioned_corpus(root)
+    m = cfg["model"]
+    m["spkr_latent_dim"] = 16
+    m["encoder"].update(dim=64, rnn_dim=48)
+    m["codebook"].update(latent_dim=24, proj_attr=8)
+    m["decoder"]["encoder"].update(enc_embed_dim=64)
+    m["decoder"]["decoder"].update(prenet_dim=48, query_rnn_dim=96, dec_rnn_dim=96,
+                                   attn_dim=48, n_location_filters=8,
+                                   location_kernel_size=15)
+    cfg["hparas"].update(lr=2e-3)
+    return cfg
+
+
+def run_one(root, *, unpair_speech, unpair_text, steps, seed):
+    from helpers import make_paras
+
+    from semi_tts_tpu.train.train_vqvae import VqvaeTrainer
+
+    valid_step = max(steps // 3, 1)
+    cfg = cycle_config(root, unpair_speech=unpair_speech,
+                       unpair_text=unpair_text, steps=steps,
+                       valid_step=valid_step)
+    paras = make_paras(root, seed=seed)
+    solver = VqvaeTrainer(cfg, paras, "train")
+    solver.load_data()
+    solver.set_model()
+
+    traj = {"unpair_speech": [], "unpair_text": [], "dev_per": [],
+            "pair_ctc": [], "dev_tts": []}
+    orig = solver.write_log
+
+    def spy(name, value):
+        if isinstance(value, dict):
+            if name == "speech_loss" and value.get("unpair") is not None:
+                traj["unpair_speech"].append((solver.step, float(value["unpair"])))
+            if name == "txt_loss" and value.get("unpair") is not None:
+                traj["unpair_text"].append((solver.step, float(value["unpair"])))
+            if name == "txt_loss" and value.get("pair") is not None:
+                traj["pair_ctc"].append((solver.step, float(value["pair"])))
+            if name == "per" and value.get("dev") is not None:
+                traj["dev_per"].append((solver.step, float(value["dev"])))
+            if name == "speech_loss" and value.get("dev") is not None:
+                traj["dev_tts"].append((solver.step, float(value["dev"])))
+        return orig(name, value)
+
+    solver.write_log = spy
+    solver.exec()
+
+    # unpair_ok engagement: count over a fresh sample of speech-first steps
+    ok_engaged = None
+    if unpair_speech > 0:
+        import jax
+
+        oks = []
+        step_fn = solver._speech_first_step
+        for i in range(4):
+            b = solver._shard(next(solver.pair_iter))
+            ub = solver._shard(next(solver.unpair_iter))
+            _, _, _, mets = step_fn(
+                jax.tree_util.tree_map(lambda x: x, solver.params), solver.state,
+                solver.opt_state, solver.rng, solver.step + 2 * i, 0.9,
+                b.waves, b.wave_len, b.text, b.sid,
+                ub.waves, ub.wave_len, ub.text, ub.sid)
+            oks.append(bool(mets["unpair_ok"]))
+        ok_engaged = sum(oks)
+    return solver, traj, ok_engaged
+
+
+def half_means(pairs):
+    """(mean of first half, mean of second half) of a [(step, v)] series."""
+    import numpy as np
+
+    vals = [v for _, v in pairs if np.isfinite(v)]
+    if len(vals) < 2:
+        return float("nan"), float("nan")
+    h = len(vals) // 2
+    return float(np.mean(vals[:h])), float(np.mean(vals[h:]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np  # noqa: F401
+
+    root_a = tempfile.mkdtemp(prefix="cycles_")
+    root_b = tempfile.mkdtemp(prefix="control_")
+
+    # reference semi-supervised weights (`config/semi-multi-spkr-paired-data.yaml`)
+    sol_a, traj_a, ok_engaged = run_one(root_a, unpair_speech=10.0,
+                                        unpair_text=1.0, steps=args.steps,
+                                        seed=args.seed)
+    sol_b, traj_b, _ = run_one(root_b, unpair_speech=0.0, unpair_text=0.0,
+                               steps=args.steps, seed=args.seed)
+
+    us_first, us_last = half_means(traj_a["unpair_speech"])
+    ut_first, ut_last = half_means(traj_a["unpair_text"])
+    per_a = traj_a["dev_per"][-1][1] if traj_a["dev_per"] else float("nan")
+    per_b = traj_b["dev_per"][-1][1] if traj_b["dev_per"] else float("nan")
+
+    ok = (us_last < us_first  # unpaired speech recon falls
+          and ut_last < ut_first  # unpaired text CTC falls
+          and (ok_engaged or 0) > 0  # the all-blank escape disengages
+          and per_a < per_b)  # cycles beat the paired-only control
+
+    result = {
+        "experiment": "semi_supervised_cycles_vs_paired_only",
+        "steps": args.steps,
+        "corpus": "phoneme-conditioned synthetic (8 paired / 64 unpaired / 16 dev)",
+        "unpair_speech_loss_first_half": round(us_first, 4),
+        "unpair_speech_loss_second_half": round(us_last, 4),
+        "unpair_text_loss_first_half": round(ut_first, 4),
+        "unpair_text_loss_second_half": round(ut_last, 4),
+        "unpair_ok_engaged_of_4": ok_engaged,
+        "dev_per_cycles": round(per_a, 4),
+        "dev_per_paired_only_control": round(per_b, 4),
+        "dev_per_trajectory_cycles": [[s, round(v, 4)] for s, v in traj_a["dev_per"]],
+        "dev_per_trajectory_control": [[s, round(v, 4)] for s, v in traj_b["dev_per"]],
+        "verdict": "PASS" if ok else "FAIL",
+    }
+    print(json.dumps(result))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(result, f, indent=1)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
