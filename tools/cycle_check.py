@@ -91,18 +91,22 @@ def run_one(root, *, unpair_speech, unpair_text, steps, seed):
     solver.exec()
 
     # unpair_ok engagement: count over a fresh sample of speech-first steps
+    # (the step donates params/opt_state, so thread deep COPIES through it)
     ok_engaged = None
     if unpair_speech > 0:
         import jax
+        import jax.numpy as jnp
 
         oks = []
         step_fn = solver._speech_first_step
+        p = jax.tree_util.tree_map(jnp.array, solver.params)
+        o = jax.tree_util.tree_map(jnp.array, solver.opt_state)
+        st = solver.state
         for i in range(4):
             b = solver._shard(next(solver.pair_iter))
             ub = solver._shard(next(solver.unpair_iter))
-            _, _, _, mets = step_fn(
-                jax.tree_util.tree_map(lambda x: x, solver.params), solver.state,
-                solver.opt_state, solver.rng, solver.step + 2 * i, 0.9,
+            p, st, o, mets = step_fn(
+                p, st, o, solver.rng, solver.step + 2 * i, 0.9,
                 b.waves, b.wave_len, b.text, b.sid,
                 ub.waves, ub.wave_len, ub.text, ub.sid)
             oks.append(bool(mets["unpair_ok"]))

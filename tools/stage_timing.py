@@ -56,6 +56,14 @@ def timed(fn, *args, iters=ITERS):
     return best / iters
 
 
+def consume(tree):
+    """Touch EVERY leaf of a pytree so XLA cannot dead-code-eliminate any
+    per-leaf output (returning only one grad leaf lets the compiler drop the
+    rest of the backward — measured: a 'full step' shrank to its forward)."""
+    return sum(jnp.asarray(l).reshape(-1)[0].astype(jnp.float32)
+               for l in jax.tree_util.tree_leaves(tree))
+
+
 def main():
     cfg, feat, phn_attr, params, state = g._build("full")
     tx, _ = make_optimizer("Adam", 1e-3, "decay")
@@ -92,7 +100,7 @@ def main():
     def f_asr(i, p, st, x, k):
         p_code, q, post, _ = V.speech_to_text(p, st, jax.random.fold_in(k, i), cfg,
                                               phn_attr, x, paired_bs=B, train=True)
-        return p_code[0, 0, 0] + q[0, 0, 0] + post[0, 0, 0]
+        return p_code[0, 0, 0] + q[0, 0, 0] + (post[0, 0, 0] if post is not None else 0.0)
 
     res["asr_codebook_fwd"] = timed(f_asr, params, state, all_aug, key)
 
@@ -100,10 +108,11 @@ def main():
         def loss(p):
             p_code, q, post, _ = V.speech_to_text(p, st, jax.random.fold_in(k, i),
                                                   cfg, phn_attr, x, paired_bs=B, train=True)
-            return jnp.sum(p_code) * 1e-3 + jnp.sum(q) * 1e-3 + jnp.sum(post) * 1e-3
+            return jnp.sum(p_code) * 1e-3 + jnp.sum(q) * 1e-3 \
+                + (jnp.sum(post) * 1e-3 if post is not None else 0.0)
 
         l, gr = jax.value_and_grad(loss)(p)
-        return l + jax.tree_util.tree_leaves(gr)[0].reshape(-1)[0]
+        return l + consume(gr)
 
     res["asr_codebook_fwdbwd"] = timed(f_asr_bwd, params, state, all_aug, key)
 
@@ -147,7 +156,7 @@ def main():
             return jnp.sum(mel_p) * 1e-3 + jnp.sum(lin_p) * 1e-3, aux
 
         (l, aux), (gr, gp) = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(p, probes)
-        return l + jax.tree_util.tree_leaves(gr)[0].reshape(-1)[0]
+        return l + consume(gr) + consume(gp)
 
     res["tts_fwdbwd"] = timed(f_tts_bwd, params, state, all_lat, key)
 
@@ -168,7 +177,7 @@ def main():
             return jnp.sum(y) * 1e-3
 
         l, gr = jax.value_and_grad(loss)(p)
-        return l + jax.tree_util.tree_leaves(gr)[0].reshape(-1)[0]
+        return l + consume(gr)
 
     res["cbhg_fwdbwd"] = timed(f_cbhg_bwd, params, state, mel_pred)
 
@@ -213,7 +222,7 @@ def main():
         gn = optax.global_norm(gr)
         upd, o2 = tx.update(gr, o, p)
         p2 = optax.apply_updates(p, upd)
-        return gn + jax.tree_util.tree_leaves(p2)[0].reshape(-1)[0]
+        return gn + consume(p2) + consume(o2)
 
     res["optimizer"] = timed(f_opt, params, opt_state, grads)
 
@@ -224,7 +233,7 @@ def main():
     def f_full(i, p, st, o):
         p2, st2, o2, mets = step(p, st, o, key, i, 0.9, waves, wave_len, text, sid,
                                  u_waves, u_wave_len, u_text, u_sid)
-        return mets["total_loss"]
+        return mets["total_loss"] + consume(p2) + consume(o2) + consume(st2)
 
     res["full_speech_first_step"] = timed(f_full, params, state, opt_state, iters=12)
 
