@@ -36,13 +36,20 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
-def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step):
+def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step,
+                 start_step=0, n_unpaired=96):
     from helpers import make_conditioned_corpus, tiny_config
 
     cfg = tiny_config(root, bone="l2", unpair_speech=unpair_speech,
                       unpair_text=unpair_text, max_step=steps,
                       valid_step=valid_step)
-    cfg["data"]["corpus"] = make_conditioned_corpus(root)
+    # supervised warm-up before the cycles engage — the reference's
+    # unpair_*_start_step semantics (`bin/train_vqvae.py:129-131`); also
+    # makes cycles-vs-control trajectories identical until start_step
+    cfg["hparas"]["unpair_speech_start_step"] = start_step
+    cfg["hparas"]["unpair_text_start_step"] = start_step
+    cfg["data"]["corpus"] = make_conditioned_corpus(
+        root, n_per_split=(8, n_unpaired, 16, 4))
     m = cfg["model"]
     m["spkr_latent_dim"] = 16
     m["encoder"].update(dim=64, rnn_dim=48)
@@ -55,15 +62,15 @@ def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step):
     return cfg
 
 
-def run_one(root, *, unpair_speech, unpair_text, steps, seed):
+def run_one(root, *, unpair_speech, unpair_text, steps, seed, start_step=0):
     from helpers import make_paras
 
     from semi_tts_tpu.train.train_vqvae import VqvaeTrainer
 
-    valid_step = max(steps // 3, 1)
+    valid_step = max(steps // 4, 1)
     cfg = cycle_config(root, unpair_speech=unpair_speech,
                        unpair_text=unpair_text, steps=steps,
-                       valid_step=valid_step)
+                       valid_step=valid_step, start_step=start_step)
     paras = make_paras(root, seed=seed)
     solver = VqvaeTrainer(cfg, paras, "train")
     solver.load_data()
@@ -75,10 +82,6 @@ def run_one(root, *, unpair_speech, unpair_text, steps, seed):
 
     def spy(name, value):
         if isinstance(value, dict):
-            if name == "speech_loss" and value.get("unpair") is not None:
-                traj["unpair_speech"].append((solver.step, float(value["unpair"])))
-            if name == "txt_loss" and value.get("unpair") is not None:
-                traj["unpair_text"].append((solver.step, float(value["unpair"])))
             if name == "txt_loss" and value.get("pair") is not None:
                 traj["pair_ctc"].append((solver.step, float(value["pair"])))
             if name == "per" and value.get("dev") is not None:
@@ -88,7 +91,35 @@ def run_one(root, *, unpair_speech, unpair_text, steps, seed):
         return orig(name, value)
 
     solver.write_log = spy
+
+    # The progress log lands after a text-first step (step count parity), so
+    # the unpaired-SPEECH loss never reaches write_log — sample it straight
+    # off each cycle step's metric stream instead. Keep device scalars and
+    # fetch once at the end (a float() per step would stall the pipeline).
+    pend_s, pend_t = [], []
+    orig_sf, orig_tf = solver._speech_first_step, solver._text_first_step
+
+    def sf(*a):
+        out = orig_sf(*a)
+        if solver.step % 10 == 0:
+            pend_s.append((solver.step, out[3]["unpair_speech_loss"]))
+        return out
+
+    def tf(*a):
+        out = orig_tf(*a)
+        if solver.step % 10 == 1:
+            pend_t.append((solver.step, out[3]["unpair_text_loss"]))
+        return out
+
+    solver._speech_first_step = sf
+    solver._text_first_step = tf
     solver.exec()
+    import jax
+
+    traj["unpair_speech"] = [(s, float(v)) for (s, _), v in
+                             zip(pend_s, jax.device_get([v for _, v in pend_s]))]
+    traj["unpair_text"] = [(s, float(v)) for (s, _), v in
+                           zip(pend_t, jax.device_get([v for _, v in pend_t]))]
 
     # unpair_ok engagement: count over a fresh sample of speech-first steps
     # (the step donates params/opt_state, so thread deep COPIES through it)
@@ -127,11 +158,15 @@ def half_means(pairs):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--steps", type=int, default=8000)
+    ap.add_argument("--start-step", type=int, default=None,
+                    help="supervised warm-up before cycles engage "
+                         "(default: steps // 4)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
+    start_step = args.start_step if args.start_step is not None else args.steps // 4
 
     if args.cpu:
         import jax
@@ -146,9 +181,10 @@ def main():
     # reference semi-supervised weights (`config/semi-multi-spkr-paired-data.yaml`)
     sol_a, traj_a, ok_engaged = run_one(root_a, unpair_speech=10.0,
                                         unpair_text=1.0, steps=args.steps,
-                                        seed=args.seed)
+                                        seed=args.seed, start_step=start_step)
     sol_b, traj_b, _ = run_one(root_b, unpair_speech=0.0, unpair_text=0.0,
-                               steps=args.steps, seed=args.seed)
+                               steps=args.steps, seed=args.seed,
+                               start_step=start_step)
 
     us_first, us_last = half_means(traj_a["unpair_speech"])
     ut_first, ut_last = half_means(traj_a["unpair_text"])
@@ -163,7 +199,10 @@ def main():
     result = {
         "experiment": "semi_supervised_cycles_vs_paired_only",
         "steps": args.steps,
-        "corpus": "phoneme-conditioned synthetic (8 paired / 64 unpaired / 16 dev)",
+        "cycle_start_step": start_step,
+        "corpus": "phoneme-conditioned synthetic (8 paired / 96 unpaired / 16 dev)",
+        "dev_tts_cycles": round(traj_a["dev_tts"][-1][1], 4) if traj_a["dev_tts"] else None,
+        "dev_tts_control": round(traj_b["dev_tts"][-1][1], 4) if traj_b["dev_tts"] else None,
         "unpair_speech_loss_first_half": round(us_first, 4),
         "unpair_speech_loss_second_half": round(us_last, 4),
         "unpair_text_loss_first_half": round(ut_first, 4),

@@ -62,25 +62,19 @@ def capture(outdir, iters=8):
     return iters
 
 
-def categorize(name):
-    """Bucket an XLA/TPU trace op name into a readable category."""
-    n = name.lower()
-    if "convert" in n:
-        return "dtype-convert"
-    if n.startswith(("fusion", "loop_fusion", "input_fusion", "output_fusion")):
-        return "fusion(elementwise/framing)"
-    if "dot" in n or "convolution" in n or "matmul" in n:
+def categorize(name, hlo_category=""):
+    """Bucket a leaf XLA op by its trace `hlo_category` (authoritative —
+    name-pattern guessing miscategorized dot-containing 'fusion.N' ops)."""
+    c = (hlo_category or "").lower()
+    if "convolution" in c or "dot" in c:
         return "dot(DFT/mel matmuls)"
-    if "copy" in n or "transpose" in n or "reshape" in n or "concatenate" in n:
-        return "copy/transpose/concat"
-    if "dynamic" in n or "gather" in n or "scatter" in n or "slice" in n:
-        return "slice/gather"
-    if "reduce" in n:
-        return "reduce"
-    if "rng" in n or "random" in n:
-        return "rng"
-    if "infeed" in n or "outfeed" in n or "transfer" in n or "stream" in n:
-        return "transfer"
+    if c:
+        return c
+    n = name.lower()
+    if "copy" in n or "transpose" in n or "reshape" in n:
+        return "copy/transpose"
+    if "dynamic" in n or "slice" in n:
+        return "slice/update"
     return "other"
 
 
@@ -92,24 +86,39 @@ def parse(outdir, iters):
     with gzip.open(traces[-1], "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
-    # device tracks: TPU core threads are labeled via process metadata
+    # keep ONLY the device's "XLA Ops" thread — the flat leaf-op timeline.
+    # The "XLA Modules" track (whole jit programs) and the host threads
+    # contain the same time again as parent spans and would double-count.
     pids_device = set()
+    ops_tids = set()
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             pname = e.get("args", {}).get("name", "")
             if "TPU" in pname or "/device" in pname.lower():
                 pids_device.add(e["pid"])
+        if e.get("name") == "thread_name" and \
+                e.get("args", {}).get("name") == "XLA Ops":
+            ops_tids.add((e["pid"], e.get("tid")))
     cat_ms = defaultdict(float)
     op_ms = defaultdict(float)
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in pids_device:
+        if (e.get("ph") != "X" or e.get("pid") not in pids_device
+                or (e["pid"], e.get("tid")) not in ops_tids):
+            continue
+        name = e.get("name", "")
+        if name.startswith(("jit_", "while")):  # container spans, not leaf ops
             continue
         dur = e.get("dur", 0) / 1e3  # us -> ms
-        name = e.get("name", "")
-        # keep leaf XLA ops only (trace rows are already flat per op)
-        cat_ms[categorize(name)] += dur
-        op_ms[name] += dur
+        args = e.get("args", {})
+        cat_ms[categorize(name, args.get("hlo_category", ""))] += dur
+        # annotate dots with their analytic FLOP rate (TF/s) for the
+        # roofline check
+        flops = int(args.get("model_flops", 0) or 0)
+        key = name if not flops else f"{name} [{flops / (e.get('dur', 1) * 1e6):.0f} TF/s]"
+        op_ms[key] += dur
         total += dur
     per_iter = {k: round(v / iters, 3) for k, v in
                 sorted(cat_ms.items(), key=lambda kv: -kv[1])}
