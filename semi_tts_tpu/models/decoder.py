@@ -127,7 +127,7 @@ def assemble_wgrads(aux, probe_grads):
     return out
 
 
-@partial(jax.jit, static_argnames=("cfg", "decode_steps", "train"))
+@partial(jax.jit, static_argnames=("cfg", "decode_steps", "train", "remat"))
 def decoder_apply(
     params,
     rng,
@@ -143,6 +143,7 @@ def decoder_apply(
     memory_lengths=None,
     wgrad_probes=None,
     qweights=None,
+    remat: bool = False,
 ):
     """Run the AR decoder for ``decode_steps`` macro-steps.
 
@@ -310,7 +311,11 @@ def decoder_apply(
 
     ts = jnp.arange(decode_steps)
     xs = (ts, wgrad_probes["q"], wgrad_probes["d"]) if use_probes else ts
-    _, out = jax.lax.scan(step, carry0, xs)
+    # remat: drop per-step residuals (backward re-runs the step body from
+    # its carry) — trades residual HBM reads for a second weight-streaming
+    # pass; measured by tools/proto_remat.py, off by default
+    body = jax.checkpoint(step) if remat else step
+    _, out = jax.lax.scan(body, carry0, xs)
     mels, aligns, stops = out[:3]
     mel = jnp.swapaxes(mels, 0, 1).reshape(B, decode_steps * r, M)
     align = jnp.swapaxes(aligns, 0, 1)                 # (B, T', L)
