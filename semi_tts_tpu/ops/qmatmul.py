@@ -16,6 +16,13 @@ MXU in bf16. Weights-only quantization: activations stay bf16/fp32, so the
 only error source is the per-row rounding of W (gated by
 `tests/test_qmatmul.py` and the serving-decode deviation check in
 `tools/proto_int8.py`).
+
+MEASURED RESULT (v5e single chip, do not enable blindly): 0.91x vs the
+bf16 path at B=64/256/512 — the pallas_call boundaries break the XLA
+while-loop's weight-prefetch pipelining and the VPU widening serializes
+ahead of the MXU (docs/PERFORMANCE.md "tried and measured WORSE"). Kept
+as an off-by-default serving option for topologies where the byte math
+changes (e.g. TP-sharded weights).
 """
 
 from __future__ import annotations
