@@ -61,10 +61,15 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch_tree, mesh: Mesh):
     s = batch_sharding(mesh)
+    n_data = mesh.shape["data"]
+    rep = NamedSharding(mesh, P())
 
     def put(x):
-        return (jax.device_put(x, s)
-                if isinstance(x, (np.ndarray, jax.Array)) and x.ndim >= 1 else x)
+        if not (isinstance(x, (np.ndarray, jax.Array)) and x.ndim >= 1):
+            return x
+        # ragged tail batches (inference buckets) can't split over 'data';
+        # replicate them — correct, just no DP speedup for that one batch
+        return jax.device_put(x, s if x.shape[0] % n_data == 0 else rep)
 
     if isinstance(batch_tree, dict) and type(batch_tree) is not dict:
         # dict subclasses (e.g. the loader's Batch) are jax pytree *leaves*;

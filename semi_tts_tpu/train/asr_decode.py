@@ -23,6 +23,7 @@ class VqvaeDecoder(_Base):
         loader = self.test_set
         rows, pers = [], []
         for batch in loader:
+            batch = self._shard(batch)
             self.rng, k = jax.random.split(self.rng)
             mel, linear, _, flen, _ = self.builder._features(k, batch.waves, batch.wave_len,
                                                              need_aug=False)

@@ -20,6 +20,7 @@ class SpecgramGenerator(_Base):
     def set_model(self):
         # no model needed: ground-truth features only
         self.step = 0
+        self.mesh = self._make_mesh()
         self.rng = jax.random.PRNGKey(self.paras.seed)
 
     def exec(self):
@@ -32,6 +33,7 @@ class SpecgramGenerator(_Base):
         acfg = self.featurizer.cfg
         cnt = 0
         for batch in loader:
+            batch = self._shard(batch)
             mel, linear, flen = self.featurizer.featurize(batch.waves, batch.wave_len)
             mel, linear, flen = np.asarray(mel), np.asarray(linear), np.asarray(flen)
             if self.paras.gen_wav:

@@ -59,6 +59,12 @@ class SpecgramGenerator(BaseSolver):
         ckpt = load_checkpoint(self.paras.load)
         self.params = jax.tree_util.tree_map(jax.numpy.asarray, ckpt["model"])
         self.state = jax.tree_util.tree_map(jax.numpy.asarray, ckpt["state"])
+        self.mesh = self._make_mesh()
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate, shard_params
+
+            self.params = shard_params(self.params, self.mesh)
+            self.state = replicate(self.state, self.mesh)
         self.step = ckpt["global_step"]
         self.verbose("Load ckpt from {}, restarting at step {}".format(self.paras.load, self.step))
 
@@ -75,6 +81,7 @@ class SpecgramGenerator(BaseSolver):
                 n_mels=self.n_mels, loss=h["freq_loss_type"],
                 differential_loss=h["differential_loss"],
                 emphasize_linear_low=h["emphasize_linear_low"]),
+            mesh=self.mesh,
         )
         self._eval_step = self.builder.make_eval_step()
         self.rng = jax.random.PRNGKey(self.paras.seed)
@@ -92,6 +99,7 @@ class SpecgramGenerator(BaseSolver):
         acfg = self.featurizer.cfg
         for i, batch in enumerate(loader):
             self.progress("Generating spectrogram for {} - {}/{}".format(split, i + 1, n_batches))
+            batch = self._shard(batch)
             k2 = jax.random.fold_in(self.rng, i + 1)
             out = self._eval_step(self.params, self.state, self.rng, i, batch.waves,
                                   batch.wave_len, batch.text, batch.sid,

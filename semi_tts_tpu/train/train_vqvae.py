@@ -61,36 +61,6 @@ class VqvaeTrainer(BaseSolver):
         self.n_spkr = len(json.load(open(self.config["data"]["corpus"]["spkr_map"])))
         self.verbose(data_msg)
 
-    # ------------------------------------------------ mesh
-    def _make_mesh(self):
-        """('data','model') mesh from --mesh DxM; None = single device."""
-        spec = getattr(self.paras, "mesh", "") or ""
-        if not spec:
-            return None
-        from ..parallel.mesh import make_mesh
-
-        try:
-            d, m = (int(v) for v in spec.lower().split("x"))
-        except ValueError:
-            raise SystemExit(f"--mesh must look like 4x2 (data x model), got {spec!r}")
-        n = d * m
-        have = len(jax.devices())
-        if n > have:
-            raise SystemExit(f"--mesh {spec} needs {n} devices, only {have} visible "
-                             "(for CPU testing set XLA_FLAGS="
-                             "--xla_force_host_platform_device_count=N)")
-        mesh = make_mesh(n, model_parallel=m)
-        self.verbose(f"Device mesh: data={d} x model={m} over {n} devices")
-        return mesh
-
-    def _shard(self, batch):
-        """Place a host batch with its leading axis over the 'data' mesh axis."""
-        if self.mesh is None:
-            return batch
-        from ..parallel.mesh import shard_batch
-
-        return shard_batch(batch, self.mesh)
-
     # ------------------------------------------------ model
     def set_model(self):
         model_cfg = dict(self.config["model"])

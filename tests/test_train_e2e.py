@@ -78,6 +78,34 @@ def test_gen_specgram_inference(supervised_run):
     assert sr == 22050 and w.shape[1] > 1000
 
 
+def test_gen_specgram_inference_on_mesh(supervised_run):
+    """Inference solvers honor --mesh: a DP2 run writes the same artifacts as
+    the single-device run (per-utterance decode has no cross-batch math, so
+    outputs must agree to float tolerance)."""
+    root, cfg, paras, solver = supervised_run
+    ckpts = sorted(glob.glob(os.path.join(solver.ckpdir, "*.pth")))
+    from semi_tts_tpu.train.gen_specgram import SpecgramGenerator
+
+    single_dir = os.path.join(root, "log", SpecgramGenerator(
+        cfg, make_paras(root, load=ckpts[-1]), "test").exp_name)
+    paras2 = make_paras(root, load=ckpts[-1], mesh="2x1",
+                        logdir=os.path.join(root, "log_mesh"))
+    gen = SpecgramGenerator(cfg, paras2, "test")
+    gen.load_data()
+    gen.set_model()
+    assert gen.mesh is not None and gen.mesh.shape["data"] == 2
+    gen.exec()
+    outdir = gen.logdir + "_%dk" % (gen.step // 1000)
+    mels = sorted(glob.glob(os.path.join(outdir, "*-mel.npy")))
+    assert len(mels) == 2
+    # must match the single-device artifacts from test_gen_specgram_inference
+    ref_dir = single_dir + "_%dk" % (gen.step // 1000)
+    for m in mels:
+        ref = os.path.join(ref_dir, os.path.basename(m))
+        if os.path.exists(ref):
+            np.testing.assert_allclose(np.load(m), np.load(ref), atol=1e-5)
+
+
 def test_resume_from_checkpoint(supervised_run):
     root, cfg, paras, solver = supervised_run
     ckpts = sorted(glob.glob(os.path.join(solver.ckpdir, "*.pth")))
