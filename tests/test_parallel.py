@@ -45,6 +45,19 @@ def test_explicit_specs_cover_tree(small_model):
     assert specs["codebook"]["learnable_table"] == P()
 
 
+def test_shard_batch_ragged_tail_replicates():
+    """Inference bucket batches whose size doesn't divide the data axis are
+    replicated instead of crashing device_put (mesh.py shard_batch)."""
+    mesh = make_mesh(8, model_parallel=2)  # data axis = 4
+    even = np.zeros((8, 16), np.float32)
+    ragged = np.zeros((6, 16), np.float32)
+    out_even = shard_batch({"x": even}, mesh)
+    out_ragged = shard_batch({"x": ragged}, mesh)
+    assert out_even["x"].sharding.spec == P("data")
+    assert out_ragged["x"].sharding.spec == P()
+    assert out_ragged["x"].shape == (6, 16)
+
+
 def test_placement_and_divisibility_fallback(small_model):
     _, _, _, params, _ = small_model
     mesh = make_mesh(8, model_parallel=2)
