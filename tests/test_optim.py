@@ -57,6 +57,46 @@ def test_grad_clip_and_nan_skip():
     assert float(jnp.abs(upd["w"]).max()) > 0
 
 
+def test_masked_if_finite_equals_optax_cond_form():
+    """apply_if_finite_masked (selects, fusable) is step-for-step identical
+    to optax.apply_if_finite (lax.cond) over a finite/NaN/finite sequence:
+    same updates, same inner state, same counters, same state layout."""
+    import optax
+
+    from semi_tts_tpu.train.optim import apply_if_finite_masked
+
+    inner = optax.chain(optax.clip_by_global_norm(GRAD_CLIP),
+                        optax.scale_by_adam(), optax.scale(-0.001))
+    ours = apply_if_finite_masked(inner)
+    ref = optax.apply_if_finite(inner, max_consecutive_errors=10**9)
+    params = {"w": jnp.ones(4), "b": jnp.zeros(2)}
+    s_a, s_b = ours.init(params), ref.init(params)
+
+    seq = [
+        {"w": jnp.full(4, 2.0), "b": jnp.ones(2)},
+        {"w": jnp.array([jnp.nan, 1.0, 1.0, 1.0]), "b": jnp.ones(2)},
+        {"w": jnp.full(4, jnp.inf), "b": jnp.ones(2)},
+        {"w": jnp.full(4, -0.5), "b": jnp.ones(2)},
+    ]
+    import jax
+
+    for g in seq:
+        u_a, s_a = ours.update(g, s_a, params)
+        u_b, s_b = ref.update(g, s_b, params)
+        for la, lb in zip(jax.tree_util.tree_leaves(u_a),
+                          jax.tree_util.tree_leaves(u_b)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-7)
+        assert int(s_a.notfinite_count) == int(s_b.notfinite_count)
+        assert bool(s_a.last_finite) == bool(s_b.last_finite)
+        assert int(s_a.total_notfinite) == int(s_b.total_notfinite)
+        for la, lb in zip(jax.tree_util.tree_leaves(s_a.inner_state),
+                          jax.tree_util.tree_leaves(s_b.inner_state)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-7)
+    # identical tree structure => checkpointed opt_states interchange
+    assert (jax.tree_util.tree_structure(s_a)
+            == jax.tree_util.tree_structure(s_b))
+
+
 def test_optimizer_facade():
     opt = Optimizer(optimizer="Adam", lr=1e-3, lr_scheduler="decay",
                     tf_start=1.0, tf_end=0.5, tf_step=10,
