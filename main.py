@@ -52,8 +52,9 @@ parser.add_argument("--pretrain-text", action="store_true",
 parser.add_argument("--profile", action="store_true",
                     help="Capture a jax.profiler trace of a window of train steps into logdir.")
 parser.add_argument("--mesh", default="", type=str,
-                    help="Train over a DATAxMODEL device mesh, e.g. 4x2 "
-                         "(data-parallel x tensor-parallel). Default: single device.")
+                    help="Run over a DATAxMODEL device mesh, e.g. 4x2 "
+                         "(data-parallel x tensor-parallel); applies to training "
+                         "and the inference solvers. Default: single device.")
 parser.add_argument("--matmul-precision", default="default",
                     choices=["default", "high", "highest"],
                     help="Global precision for model matmuls/convs on TPU: "
