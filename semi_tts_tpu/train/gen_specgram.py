@@ -90,6 +90,10 @@ class SpecgramGenerator(BaseSolver):
         self.gen_specgram("test", self.logdir + "_%dk" % (self.step // 1000))
 
     def gen_specgram(self, split, output_dir):
+        """One-deep software pipeline: batch i's device outputs are written
+        to disk while the device already runs batch i+1 (JAX dispatch is
+        async; the blocking ``np.asarray`` readback happens one step late,
+        so host IO and the ~10-80 ms tunnel readback overlap decode)."""
         os.makedirs(output_dir, exist_ok=True)
         self.verbose("Save outputs in {}".format(output_dir))
         cnt = 0
@@ -97,25 +101,15 @@ class SpecgramGenerator(BaseSolver):
         r = self.model_cfg.n_frames_per_step
         n_batches = len(loader)
         acfg = self.featurizer.cfg
-        for i, batch in enumerate(loader):
-            self.progress("Generating spectrogram for {} - {}/{}".format(split, i + 1, n_batches))
-            batch = self._shard(batch)
-            k2 = jax.random.fold_in(self.rng, i + 1)
-            out = self._eval_step(self.params, self.state, self.rng, i, batch.waves,
-                                  batch.wave_len, batch.text, batch.sid,
-                                  margin_frames=INFERENCE_MARGIN_FRAMES)
+
+        def write_outputs(batch, out, wavs_dev):
+            n = 0
             mel_pred = np.asarray(out["mel_pred"])
             lin_pred = np.asarray(out["lin_pred"])
             align_pred = np.asarray(out["align"])
             enc_step = np.asarray((batch.text != 0).sum(-1)).tolist()
             dec_step = [int(t_len * V.FRAME_PHN_RATIO) // r for t_len in enc_step]
-            if self.paras.gen_wav:
-                amp = self.featurizer.linear_to_amp(out["lin_pred"])
-                wavs = np.asarray(specgram_to_waveform(
-                    amp, k2, n_fft=acfg.n_fft, hop=acfg.hop_length,
-                    win_length=acfg.win_length,
-                    preemphasis_coeff=acfg.preemphasis_coeff))
-
+            wavs = None if wavs_dev is None else np.asarray(wavs_dev)
             for idx in range(mel_pred.shape[0]):
                 fname = batch.fids[idx]
                 np.save(join(output_dir, fname + "-mel.npy"),
@@ -124,8 +118,30 @@ class SpecgramGenerator(BaseSolver):
                         lin_pred[idx].astype(np.float32), allow_pickle=False)
                 ali = align_pred[idx][: dec_step[idx], : enc_step[idx]]
                 np.save(join(output_dir, fname + "-align.npy"), ali)
-                if self.paras.gen_wav:
+                if wavs is not None:
                     wavio.write(join(output_dir, fname + "-pred.wav"), wavs[idx], acfg.sample_rate)
-                cnt += 1
+                n += 1
+            return n
+
+        pending = None
+        for i, batch in enumerate(loader):
+            self.progress("Generating spectrogram for {} - {}/{}".format(split, i + 1, n_batches))
+            batch = self._shard(batch)
+            k2 = jax.random.fold_in(self.rng, i + 1)
+            out = self._eval_step(self.params, self.state, self.rng, i, batch.waves,
+                                  batch.wave_len, batch.text, batch.sid,
+                                  margin_frames=INFERENCE_MARGIN_FRAMES)
+            wavs_dev = None
+            if self.paras.gen_wav:
+                amp = self.featurizer.linear_to_amp(out["lin_pred"])
+                wavs_dev = specgram_to_waveform(
+                    amp, k2, n_fft=acfg.n_fft, hop=acfg.hop_length,
+                    win_length=acfg.win_length,
+                    preemphasis_coeff=acfg.preemphasis_coeff)
+            if pending is not None:
+                cnt += write_outputs(*pending)
+            pending = (batch, out, wavs_dev)
+        if pending is not None:
+            cnt += write_outputs(*pending)
 
         self.verbose("Save {} spectorgram totally".format(cnt))
