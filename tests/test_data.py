@@ -141,6 +141,27 @@ def test_conditioned_corpus_renders_transcripts(tmp_path):
     assert len(pr) == 4 and len(up) == 6 and len(dv) == 2
 
 
+def test_conditioned_corpus_pinned_shapes(tmp_path):
+    """``utt_phones=(9, 10)`` (tools/cycle_check.py --pin-shapes) collapses
+    the corpus to ONE loader shape: every utterance has exactly 9 phones, so
+    all waves land in a single length bucket and all text pads to a single
+    quantum — each compiled step variant then traces exactly once (the
+    recompile-per-shape blowup is what made low-resource cycle runs
+    unaffordable over the axon tunnel)."""
+    from helpers import make_conditioned_corpus
+
+    corpus = make_conditioned_corpus(str(tmp_path), n_per_split=(4, 6, 2, 2),
+                                     utt_phones=(9, 10), batch_size=2)
+    tok = load_text_encoder("phoneme", corpus["vocab_file"], corpus["map_table"])
+    shapes = set()
+    for split in ("paired", "unpaired", "dev"):
+        ds = VCTKDataset(corpus["path"], corpus["partition_table"], split,
+                         False, 2, corpus["spkr_map"])
+        for b in TTSLoader(ds, tok, shuffle=False, drop_last=True, seed=0):
+            shapes.add((b.waves.shape[1], b.text.shape[1]))
+    assert len(shapes) == 1, shapes
+
+
 def test_load_dataset_wires_multihost_shards(tmp_path):
     """`load_dataset(shard_id=, num_shards=)` shards the TRAIN loaders only:
     pair/unpair streams across fake hosts are disjoint and jointly complete,

@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step,
-                 start_step=0, n_unpaired=96, n_paired=8):
+                 start_step=0, n_unpaired=96, n_paired=8, utt_phones=(6, 12)):
     from helpers import make_conditioned_corpus, tiny_config
 
     cfg = tiny_config(root, bone="l2", unpair_speech=unpair_speech,
@@ -49,7 +49,8 @@ def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step,
     cfg["hparas"]["unpair_speech_start_step"] = start_step
     cfg["hparas"]["unpair_text_start_step"] = start_step
     cfg["data"]["corpus"] = make_conditioned_corpus(
-        root, n_per_split=(n_paired, n_unpaired, 16, 4))
+        root, n_per_split=(n_paired, n_unpaired, 16, 4),
+        utt_phones=utt_phones)
     m = cfg["model"]
     m["spkr_latent_dim"] = 16
     m["encoder"].update(dim=64, rnn_dim=48)
@@ -63,7 +64,7 @@ def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step,
 
 
 def run_one(root, *, unpair_speech, unpair_text, steps, seed, start_step=0,
-            n_paired=8):
+            n_paired=8, utt_phones=(6, 12)):
     from helpers import make_paras
 
     from semi_tts_tpu.train.train_vqvae import VqvaeTrainer
@@ -72,7 +73,7 @@ def run_one(root, *, unpair_speech, unpair_text, steps, seed, start_step=0,
     cfg = cycle_config(root, unpair_speech=unpair_speech,
                        unpair_text=unpair_text, steps=steps,
                        valid_step=valid_step, start_step=start_step,
-                       n_paired=n_paired)
+                       n_paired=n_paired, utt_phones=utt_phones)
     paras = make_paras(root, seed=seed)
     solver = VqvaeTrainer(cfg, paras, "train")
     solver.load_data()
@@ -169,6 +170,13 @@ def main():
     ap.add_argument("--n-paired", type=int, default=8,
                     help="paired-split size; smaller = lower-resource, "
                          "more headroom for the unpaired cycles")
+    ap.add_argument("--pin-shapes", action="store_true",
+                    help="fixed 9-phone utterances: ONE wave-bucket/text-pad "
+                         "shape, so each step variant compiles exactly once. "
+                         "Low-resource (--n-paired 4) corpora otherwise draw "
+                         "more length shapes and every extra shape recompiles "
+                         "all three step variants (minutes each over the axon "
+                         "tunnel; measured ~5x slower wall-clock)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
     start_step = args.start_step if args.start_step is not None else args.steps // 4
@@ -183,14 +191,17 @@ def main():
     root_a = tempfile.mkdtemp(prefix="cycles_")
     root_b = tempfile.mkdtemp(prefix="control_")
 
+    utt_phones = (9, 10) if args.pin_shapes else (6, 12)
     # reference semi-supervised weights (`config/semi-multi-spkr-paired-data.yaml`)
     sol_a, traj_a, ok_engaged = run_one(root_a, unpair_speech=10.0,
                                         unpair_text=1.0, steps=args.steps,
                                         seed=args.seed, start_step=start_step,
-                                        n_paired=args.n_paired)
+                                        n_paired=args.n_paired,
+                                        utt_phones=utt_phones)
     sol_b, traj_b, _ = run_one(root_b, unpair_speech=0.0, unpair_text=0.0,
                                steps=args.steps, seed=args.seed,
-                               start_step=start_step, n_paired=args.n_paired)
+                               start_step=start_step, n_paired=args.n_paired,
+                               utt_phones=utt_phones)
 
     us_first, us_last = half_means(traj_a["unpair_speech"])
     ut_first, ut_last = half_means(traj_a["unpair_text"])
@@ -213,7 +224,8 @@ def main():
         "experiment": "semi_supervised_cycles_vs_paired_only",
         "steps": args.steps,
         "cycle_start_step": start_step,
-        "corpus": "phoneme-conditioned synthetic (%d paired / 96 unpaired / 16 dev)" % args.n_paired,
+        "corpus": "phoneme-conditioned synthetic (%d paired / 96 unpaired / 16 dev%s)"
+                  % (args.n_paired, ", shape-pinned 9-phone" if args.pin_shapes else ""),
         "dev_tts_cycles": round(traj_a["dev_tts"][-1][1], 4) if traj_a["dev_tts"] else None,
         "dev_tts_control": round(traj_b["dev_tts"][-1][1], 4) if traj_b["dev_tts"] else None,
         "unpair_speech_loss_first_half": round(us_first, 4),
