@@ -252,7 +252,12 @@ def _bench_train_steps(iters=12):
     float(chained64(params, state, opt_state, key, *pair64))  # compile + warm
     out["paired_b64"] = _best_of(
         lambda: float(chained64(params, state, opt_state, key, *pair64))) / iters
-    return out, mfu_paired
+    from semi_tts_tpu.utils.flops import matmul_flops
+
+    flops64 = matmul_flops(
+        lambda *a: step64(*a), params, state, opt_state, key, 1, 0.9, *pair64)
+    mfu_b64 = flops64 / out["paired_b64"] / V5E_BF16_PEAK
+    return out, mfu_paired, mfu_b64
 
 
 def _bench_griffin_lim(iters=16):
@@ -360,7 +365,7 @@ def main():
     tpu_rate, step_dt, feat_mfu = _bench_tpu_featurizer(waves, lengths)
     cpu_rate = _bench_cpu_reference(waves, lengths)
     dec_rates, dec_mfu = _bench_decoder()
-    train_ms, train_mfu = _bench_train_steps()
+    train_ms, train_mfu, train_mfu_b64 = _bench_train_steps()
     gl_rate, gl_dt = _bench_griffin_lim()
     e2e = _bench_tts_e2e()
 
@@ -386,6 +391,7 @@ def main():
         "train_step_mfu_pct": round(100 * train_mfu, 1),
         "train_step_ms_paired_b64": round(train_ms["paired_b64"] * 1e3, 1),
         "train_step_utt_per_sec_b64": round(64 / train_ms["paired_b64"], 1),
+        "train_step_mfu_pct_b64": round(100 * train_mfu_b64, 1),
         "griffin_lim_utt_per_sec": round(gl_rate, 1),
         "griffin_lim_batch_ms": round(gl_dt * 1e3, 1),
         "tts_e2e_utt_per_sec": round(e2e[16][0], 1),

@@ -78,22 +78,27 @@ def test_gen_specgram_inference(supervised_run):
     assert sr == 22050 and w.shape[1] > 1000
 
 
-def test_gen_specgram_inference_on_mesh(supervised_run):
-    """Inference solvers honor --mesh: a DP2 run writes the same artifacts as
-    the single-device run (per-utterance decode has no cross-batch math, so
-    outputs must agree to float tolerance)."""
+@pytest.mark.parametrize("mesh_arg", ["2x1", "1x2"])
+def test_gen_specgram_inference_on_mesh(supervised_run, mesh_arg):
+    """Inference solvers honor --mesh: a DP2 run (batch split across chips)
+    and a TP2 run (weights split across chips — the lever that halves the
+    per-chip weight streaming the AR decode is bound by) both write the same
+    artifacts as the single-device run (per-utterance decode has no
+    cross-batch math, so outputs must agree to float tolerance)."""
     root, cfg, paras, solver = supervised_run
     ckpts = sorted(glob.glob(os.path.join(solver.ckpdir, "*.pth")))
     from semi_tts_tpu.train.gen_specgram import SpecgramGenerator
 
     single_dir = os.path.join(root, "log", SpecgramGenerator(
         cfg, make_paras(root, load=ckpts[-1]), "test").exp_name)
-    paras2 = make_paras(root, load=ckpts[-1], mesh="2x1",
-                        logdir=os.path.join(root, "log_mesh"))
+    paras2 = make_paras(root, load=ckpts[-1], mesh=mesh_arg,
+                        logdir=os.path.join(root, "log_mesh_" + mesh_arg))
     gen = SpecgramGenerator(cfg, paras2, "test")
     gen.load_data()
     gen.set_model()
-    assert gen.mesh is not None and gen.mesh.shape["data"] == 2
+    d, m = (int(s) for s in mesh_arg.split("x"))
+    assert gen.mesh is not None and gen.mesh.shape["data"] == d
+    assert gen.mesh.shape["model"] == m
     gen.exec()
     outdir = gen.logdir + "_%dk" % (gen.step // 1000)
     mels = sorted(glob.glob(os.path.join(outdir, "*-mel.npy")))
