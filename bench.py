@@ -207,6 +207,13 @@ def _bench_train_steps(iters=12):
     unpair = tuple(map(jnp.asarray, (u_waves, u_wave_len, u_text, u_sid)))
     key = jax.random.PRNGKey(0)
 
+    from semi_tts_tpu.utils.flops import matmul_flops
+
+    def _mfu(step, dt, *args):
+        flops = matmul_flops(
+            lambda *a: step(*a), params, state, opt_state, key, 1, 0.9, *args)
+        return flops / dt / V5E_BF16_PEAK
+
     variants = {
         "paired": (builder.make_paired_step(), pair),
         "speech_first": (builder.make_speech_first_step(), pair + unpair),
@@ -229,11 +236,7 @@ def _bench_train_steps(iters=12):
             lambda: float(chained(params, state, opt_state, key, *args))) / iters
         out[name] = dt
         if name == "paired":
-            from semi_tts_tpu.utils.flops import matmul_flops
-
-            flops = matmul_flops(
-                lambda *a: step(*a), params, state, opt_state, key, 1, 0.9, *args)
-            mfu_paired = flops / dt / V5E_BF16_PEAK
+            mfu_paired = _mfu(step, dt, *args)
 
     # paired step at production batch B=64: the weight-streaming reads
     # amortize across the batch (tools/batch_scaling.py has the full sweep)
@@ -252,12 +255,7 @@ def _bench_train_steps(iters=12):
     float(chained64(params, state, opt_state, key, *pair64))  # compile + warm
     out["paired_b64"] = _best_of(
         lambda: float(chained64(params, state, opt_state, key, *pair64))) / iters
-    from semi_tts_tpu.utils.flops import matmul_flops
-
-    flops64 = matmul_flops(
-        lambda *a: step64(*a), params, state, opt_state, key, 1, 0.9, *pair64)
-    mfu_b64 = flops64 / out["paired_b64"] / V5E_BF16_PEAK
-    return out, mfu_paired, mfu_b64
+    return out, mfu_paired, _mfu(step64, out["paired_b64"], *pair64)
 
 
 def _bench_griffin_lim(iters=16):
@@ -306,37 +304,16 @@ def _bench_tts_e2e(iters=8, batch_sizes=(16, 64), decode_steps=200):
     Returns {B: (utt/s, realtime-factor)}.
     """
     import jax
-    import jax.numpy as jnp
 
     import __graft_entry__ as g
-    from semi_tts_tpu.models import vqvae as V
-    from semi_tts_tpu.ops.griffin_lim import specgram_to_waveform
 
     cfg, feat, phn_attr, params, state = g._build("full")
     c = feat.cfg
-    U = 32
     audio_sec_per_utt = decode_steps * cfg.n_frames_per_step * c.hop_length / c.sample_rate
+    synth, vocode = g._serving_stages(cfg, feat, phn_attr, decode_steps)
     results = {}
     for B in batch_sizes:
-        rng = np.random.RandomState(0)
-        text = np.zeros((B, U), np.int32)
-        text[:, : U - 2] = rng.randint(3, 43, size=(B, U - 2))
-        sid = jnp.asarray(rng.randint(0, 109, size=B).astype(np.int32))
-        text = jnp.asarray(text)
-
-        @jax.jit
-        def synth(params, state, text, sid, key):
-            lat = V.embed_text(params, cfg, phn_attr, text)
-            mel, lin, align, stop, _ = V.text_to_speech(
-                params, state, key, cfg, lat, sid, decode_steps=decode_steps,
-                train=False, teacher=None, tf_rate=0.0)
-            return feat.linear_to_amp(lin)
-
-        @jax.jit
-        def vocode(amp, key):
-            return specgram_to_waveform(
-                amp, key, n_fft=c.n_fft, hop=c.hop_length,
-                win_length=c.win_length, preemphasis_coeff=c.preemphasis_coeff)
+        text, sid = g._serving_inputs(B)
 
         # Pre-materialize per-iteration keys OUTSIDE the timed region so the
         # timed loop issues nothing but the two stage dispatches.

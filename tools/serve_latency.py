@@ -7,7 +7,9 @@ alone. This measures the full text -> mel/linear -> Griffin-Lim -> waveform
 path (the `--gen-wav` serving pipeline, `train/gen_specgram.py:126-145`,
 reference `bin/gen_specgram.py:89-129` + `src/audio.py:179-226`) as ONE
 cold-queue dispatch pair at B=1 and B=4, reporting end-to-end wall latency
-per request.
+per request. The stage programs are `__graft_entry__._serving_stages` — the
+exact jits bench.py times for throughput, so the two instruments are
+directly comparable.
 
 The AR decode is weight-streaming-bound (~35 MB bf16/step), so B=1 latency
 is essentially the same device time as B=4 — the B=4 row shows how much
@@ -20,25 +22,24 @@ reported separately via a no-op roundtrip so the device-time component is
 attributable.
 
 Usage: python tools/serve_latency.py [--decode-steps 200]
-Prints one JSON object.
+Prints one JSON object on stdout (progress lines go to stderr).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 import __graft_entry__ as g
-from semi_tts_tpu.models import vqvae as V
-from semi_tts_tpu.ops.griffin_lim import specgram_to_waveform
 
 
 def main():
@@ -49,7 +50,6 @@ def main():
 
     cfg, feat, phn_attr, params, state = g._build("full")
     c = feat.cfg
-    U = 32
     decode_steps = args.decode_steps
     audio_sec = decode_steps * cfg.n_frames_per_step * c.hop_length / c.sample_rate
 
@@ -65,27 +65,9 @@ def main():
     rt = min(_timed(lambda: float(noop(one))) for _ in range(args.repeats))
     out["tunnel_roundtrip_ms"] = round(rt * 1e3, 1)
 
+    synth, vocode = g._serving_stages(cfg, feat, phn_attr, decode_steps)
     for B in (1, 4):
-        rng = np.random.RandomState(0)
-        text = np.zeros((B, U), np.int32)
-        text[:, : U - 2] = rng.randint(3, 43, size=(B, U - 2))
-        sid = jnp.asarray(rng.randint(0, 109, size=B).astype(np.int32))
-        text = jnp.asarray(text)
-
-        @jax.jit
-        def synth(params, state, text, sid, key):
-            lat = V.embed_text(params, cfg, phn_attr, text)
-            mel, lin, align, stop, _ = V.text_to_speech(
-                params, state, key, cfg, lat, sid, decode_steps=decode_steps,
-                train=False, teacher=None, tf_rate=0.0)
-            return feat.linear_to_amp(lin)
-
-        @jax.jit
-        def vocode(amp, key):
-            return specgram_to_waveform(
-                amp, key, n_fft=c.n_fft, hop=c.hop_length,
-                win_length=c.win_length, preemphasis_coeff=c.preemphasis_coeff)
-
+        text, sid = g._serving_inputs(B)
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
 
         def request():
@@ -98,7 +80,7 @@ def main():
             "latency_ms": round(lat * 1e3, 1),
             "realtime_factor": round(audio_sec / lat, 1),
         }
-        print(json.dumps({B: out[f"B{B}"]}), flush=True)
+        print(json.dumps({B: out[f"B{B}"]}), file=sys.stderr, flush=True)
 
     print(json.dumps(out))
 
