@@ -34,6 +34,41 @@ import numpy as np
 V5E_BF16_PEAK = 197e12  # TPU v5e bf16 MXU peak FLOP/s
 
 
+def _device_watchdog(timeout_s=300):
+    """Fail fast if the device is unreachable instead of hanging forever.
+
+    The axon tunnel can wedge for hours (observed 2026-08-17/18: even
+    `jax.devices()` blocks indefinitely). A hung bench is worse than a
+    failed one — probe the backend with a trivial jitted op on a side
+    thread and, if it doesn't answer within ``timeout_s``, print an honest
+    error JSON line (still one line, still has metric/value/vs_baseline
+    keys) and hard-exit, because the probe thread cannot be cancelled."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        jax.jit(lambda x: x + 1.0)(jnp.float32(0.0)).block_until_ready()
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "featurization_mel_frames_per_sec",
+            "value": 0,
+            "unit": "mel-frames/s",
+            "vs_baseline": 0,
+            "error": "device unresponsive after %ds (axon tunnel wedged?); "
+                     "no measurement possible" % timeout_s,
+        }), flush=True)
+        os._exit(2)
+
+
 def _best_of(fn, n=3):
     """Best (min) wall time of ``n`` timed calls — both sides of the
     vs_baseline ratio use best-of-k so one contended/wobbly run on either
@@ -333,6 +368,7 @@ def _bench_tts_e2e(iters=8, batch_sizes=(16, 64), decode_steps=200):
 
 
 def main():
+    _device_watchdog()
     B, sec, sr = 128, 8.0, 22050
     rng = np.random.RandomState(0)
     S = int(sec * sr)
