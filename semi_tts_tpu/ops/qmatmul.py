@@ -103,7 +103,8 @@ def lstm_cell_q(qp, bias, x, h, c):
     ``qp``: {"w_ih": (q, s), "w_hh": (q, s)}; ``bias`` = b_ih + b_hh (fp32).
     Matches `ops.rnn.lstm_cell` exactly up to int8 weight rounding.
     """
-    gates = qmatmul(x, *qp["w_ih"]) + qmatmul(h, *qp["w_hh"]) + bias
+    n_out = bias.shape[0]  # quantize_rows pads rows to 128 — slice them off
+    gates = (qmatmul(x, *qp["w_ih"]) + qmatmul(h, *qp["w_hh"]))[:, :n_out] + bias
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)

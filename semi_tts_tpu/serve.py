@@ -1,0 +1,274 @@
+"""Online TTS serving: phoneme ids -> waveform, packaged for a production
+endpoint on TPU.
+
+The reference has no online serving story — inference is the offline batch
+solver `bin/gen_specgram.py:89-129` plus the offline vocoder CLI
+`util/gen_wav_from_specgram.py:37-57`. This module is the TPU-native online
+counterpart: the identical math (codebook embed -> Tacotron2 AR decode at
+tf_rate=0 -> CBHG mel->linear -> denormalize -> Griffin-Lim -> inverse
+pre-emphasis) packaged as TWO independently jitted stage programs,
+
+  synthesis: text ids -> linear-amplitude spectrogram
+  vocoder:   linear-amplitude spectrogram -> waveform
+
+chained by async dispatch. Two stages rather than one fused jit because
+
+  1. the fused text->decode->Griffin-Lim monolith hits pathological XLA
+     compile times at serving batch (never finished at B>=32 on the remote
+     tunnel; docs/PERFORMANCE.md "Serving-e2e at larger batch"), while each
+     stage compiles in minutes at any batch, and
+  2. a deployed endpoint batches the stages independently anyway — the AR
+     decode is weight-streaming-bound (~35 MB of bf16-converted weights
+     re-read per decode step) so synthesis throughput scales with batch
+     until ~B=512, whereas Griffin-Lim is dot-roofline-bound and saturates
+     much earlier.
+
+`bench.py` (throughput at B=16/64) and `tools/serve_latency.py` (B=1/4
+single-request latency) time exactly the programs built here, so the
+published numbers describe this API.
+
+Decode length: pure-text serving has no teacher mel, so the decode budget
+follows the reference's own frames-per-phoneme rule — ``FRAME_PHN_RATIO``
+(6.0 mel frames per input token, `src/vqvae.py:18,156-159`) plus the
+40-frame inference margin (`bin/gen_specgram.py:17`) — rounded up to a
+step bucket so a stream of variable-length requests reuses a handful of
+compiled programs instead of recompiling per length.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .models import vqvae as V
+from .ops.griffin_lim import specgram_to_waveform
+
+INFERENCE_MARGIN_FRAMES = 40  # (`bin/gen_specgram.py:17`)
+
+
+def serving_stages(cfg, featurizer, phn_attr, decode_steps, *, qweights=None,
+                   mask_text_padding=True):
+    """Build the (synth, vocode) stage jits.
+
+    ``synth(params, state, text, sid, key) -> linear amplitude (B, T, F)``
+    ``vocode(amp, key) -> waveform (B, S)``
+
+    ``qweights``: optional int8-streamed decoder weights from
+    `ops.qmatmul.quantize_decoder`. Measured 0.91x on single-chip v5e (the
+    pallas_call boundaries break XLA's weight-prefetch pipeline,
+    docs/PERFORMANCE.md) — only use where the economics change (e.g.
+    TP-sharded weights over ICI).
+
+    ``mask_text_padding``: mask attention over padded text positions
+    (matches the eval step; the bench pins it True).
+    """
+    c = featurizer.cfg
+
+    @jax.jit
+    def synth(params, state, text, sid, key):
+        lat = V.embed_text(params, cfg, phn_attr, text)
+        lengths = jnp.sum(text != 0, -1) + 1 if mask_text_padding else None
+        mel, lin, align, stop, _ = V.text_to_speech(
+            params, state, key, cfg, lat, sid, decode_steps=decode_steps,
+            train=False, teacher=None, tf_rate=0.0, latent_lengths=lengths,
+            qweights=qweights)
+        return featurizer.linear_to_amp(lin)
+
+    @jax.jit
+    def vocode(amp, key):
+        return specgram_to_waveform(
+            amp, key, n_fft=c.n_fft, hop=c.hop_length,
+            win_length=c.win_length, preemphasis_coeff=c.preemphasis_coeff)
+
+    return synth, vocode
+
+
+class TTSServer:
+    """A loaded VQVAE checkpoint wrapped as a synthesis endpoint.
+
+    >>> server = TTSServer.from_checkpoint("config/supervised.yaml",
+    ...                                     "ckpt/best_tts_loss.pth")
+    >>> wav = server.synthesize(text_ids, speaker_ids)   # (B, S) float32
+
+    Per-length stage programs are compiled once and cached (decode lengths
+    are bucketed to multiples of ``step_bucket`` macro-steps). Pass a
+    `jax.sharding.Mesh` to shard the request batch over the ``data`` axis
+    and the weights over the ``model`` axis (batch must divide the data
+    axis; TP2 output equality is covered by `tests/test_parallel.py`).
+    """
+
+    def __init__(self, cfg, featurizer, phn_attr, params, state, *,
+                 mesh=None, step_bucket=25, int8_weights=False):
+        self.cfg = cfg
+        self.featurizer = featurizer
+        self.phn_attr = phn_attr
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import replicate, shard_params
+
+            params = shard_params(params, mesh)
+            state = replicate(state, mesh)
+        self.params = params
+        self.state = state
+        self.step_bucket = int(step_bucket)
+        self.qweights = None
+        if int8_weights:
+            from .ops.qmatmul import quantize_decoder
+
+            self.qweights = quantize_decoder(params["tts"]["decoder"])
+        self._counter = 0
+
+    # ---- construction -----------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, config, ckpt_path, *, mesh=None, step_bucket=25,
+                        int8_weights=False):
+        """Build from a training YAML (path or loaded dict) + checkpoint.
+
+        Mirrors the inference solver's model assembly
+        (`train/gen_specgram.py:47-87`, reference `bin/gen_specgram.py:69-82`):
+        audio/featurizer settings come from the config's ``data.audio``
+        section, the model topology from ``model``, and params/state from the
+        checkpoint triple.
+        """
+        import json
+
+        import yaml
+
+        from .ops.features import AudioConfig, AudioFeaturizer
+        from .train.checkpoint import load_checkpoint
+        from .utils.metrics import read_phn_attr
+
+        if isinstance(config, str):
+            config = yaml.safe_load(open(config))
+        audio = config["data"]["audio"]
+        acfg = AudioConfig(
+            num_freq=audio["num_freq"], num_mels=audio["num_mels"],
+            frame_length_ms=audio["frame_length_ms"],
+            frame_shift_ms=audio["frame_shift_ms"],
+            preemphasis_coeff=audio["preemphasis_coeff"],
+            sample_rate=audio["sample_rate"], use_linear=audio["use_linear"],
+            snr_range=tuple(audio["snr_range"]),
+            time_stretch_range=tuple(audio["time_stretch_range"]))
+        featurizer = AudioFeaturizer(acfg)
+
+        from .data.text import load_text_encoder
+
+        tokenizer = load_text_encoder("phoneme",
+                                      vocab_file=config["data"]["corpus"]["vocab_file"])
+        n_spkr = len(json.load(open(config["data"]["corpus"]["spkr_map"])))
+
+        model_cfg = dict(config["model"])
+        for k in ("pretrained_asr", "pretrained_emb", "pretrained_tts"):
+            model_cfg.pop(k, None)
+        phn_attr_pth = model_cfg["codebook"].get("phn_attr_pth") or ""
+        phn_attr = read_phn_attr(phn_attr_pth) if phn_attr_pth else None
+        cfg = V.config_from_yaml(
+            model_cfg, n_mels=acfg.num_mels,
+            linear_dim=acfg.num_freq if acfg.use_linear else None,
+            vocab_size=tokenizer.vocab_size, n_spkr=n_spkr,
+            attr_dim=0 if phn_attr is None else phn_attr.shape[1])
+
+        ckpt = load_checkpoint(ckpt_path)
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["model"])
+        state = jax.tree_util.tree_map(jnp.asarray, ckpt["state"])
+        server = cls(cfg, featurizer,
+                     None if phn_attr is None else jnp.asarray(phn_attr),
+                     params, state, mesh=mesh, step_bucket=step_bucket,
+                     int8_weights=int8_weights)
+        server.tokenizer = tokenizer
+        return server
+
+    # ---- decode-length policy ----------------------------------------------
+
+    def decode_steps_for(self, text) -> int:
+        """Macro-step budget for a padded text batch: FRAME_PHN_RATIO frames
+        per longest-text token + the 40-frame margin, bucketed up."""
+        n_tok = int(np.max(np.sum(np.asarray(text) != 0, -1))) + 1
+        r = self.cfg.n_frames_per_step
+        steps = (int(n_tok * V.FRAME_PHN_RATIO) + INFERENCE_MARGIN_FRAMES + r - 1) // r
+        b = self.step_bucket
+        return ((steps + b - 1) // b) * b
+
+    @functools.lru_cache(maxsize=None)
+    def stages(self, decode_steps: int):
+        """(synth, vocode) jits for one bucketed decode length (cached)."""
+        return serving_stages(self.cfg, self.featurizer, self.phn_attr,
+                              decode_steps, qweights=self.qweights)
+
+    # ---- request paths -----------------------------------------------------
+
+    def _key(self, key):
+        if key is None:
+            key = jax.random.fold_in(jax.random.PRNGKey(0), self._counter)
+            self._counter += 1
+        return key
+
+    def _place(self, text, sid):
+        text, sid = jnp.asarray(text, jnp.int32), jnp.asarray(sid, jnp.int32)
+        if self.mesh is not None:
+            from .parallel.mesh import shard_batch
+
+            placed = shard_batch(dict(t=text, s=sid), self.mesh)
+            text, sid = placed["t"], placed["s"]
+        return text, sid
+
+    def synthesize(self, text, sid, key=None, *, decode_steps=None):
+        """Text ids (B, U) + speaker ids (B,) -> waveforms (B, S) float32.
+
+        Both stages are dispatched back-to-back (JAX async dispatch keeps
+        the device queue full); the return materializes on host.
+        """
+        text, sid = self._place(text, sid)
+        steps = decode_steps or self.decode_steps_for(text)
+        synth, vocode = self.stages(steps)
+        k1, k2 = jax.random.split(self._key(key))
+        wav = vocode(synth(self.params, self.state, text, sid, k1), k2)
+        return np.asarray(wav)
+
+    def synthesize_full(self, text, sid, key=None, *, decode_steps=None):
+        """Like `synthesize` but also returns the offline-solver artifacts:
+        dict(wav, mel, linear, align) with the alignment cropped per
+        utterance exactly as `{id}-align.npy` is
+        (`train/gen_specgram.py:105-124`, `bin/gen_specgram.py:112-124`)."""
+        text, sid = self._place(text, sid)
+        steps = decode_steps or self.decode_steps_for(text)
+        synth, vocode = self.stages(steps)
+        k1, k2 = jax.random.split(self._key(key))
+
+        # A separate jit that keeps the (mel, linear, align) outputs live —
+        # the throughput `synth` stage returns only the amplitude spec so
+        # XLA can dead-code-eliminate the artifact writes.
+        full = self._full_stage(steps)
+        mel, lin, align, amp = full(self.params, self.state, text, sid, k1)
+        wav = vocode(amp, k2)
+        r = self.cfg.n_frames_per_step
+        enc = np.sum(np.asarray(text) != 0, -1)
+        out_align = []
+        align = np.asarray(align)
+        for i in range(align.shape[0]):
+            dec = int(enc[i] * V.FRAME_PHN_RATIO) // r
+            out_align.append(align[i][:dec, :enc[i]])
+        return dict(wav=np.asarray(wav), mel=np.asarray(mel),
+                    linear=np.asarray(lin), align=out_align)
+
+    @functools.lru_cache(maxsize=None)
+    def _full_stage(self, decode_steps: int):
+        cfg, featurizer, phn_attr = self.cfg, self.featurizer, self.phn_attr
+        qweights = self.qweights
+
+        @jax.jit
+        def full(params, state, text, sid, key):
+            lat = V.embed_text(params, cfg, phn_attr, text)
+            lengths = jnp.sum(text != 0, -1) + 1
+            mel, lin, align, stop, _ = V.text_to_speech(
+                params, state, key, cfg, lat, sid, decode_steps=decode_steps,
+                train=False, teacher=None, tf_rate=0.0,
+                latent_lengths=lengths, qweights=qweights)
+            return mel, lin, align, featurizer.linear_to_amp(lin)
+
+        return full

@@ -7,9 +7,9 @@ alone. This measures the full text -> mel/linear -> Griffin-Lim -> waveform
 path (the `--gen-wav` serving pipeline, `train/gen_specgram.py:126-145`,
 reference `bin/gen_specgram.py:89-129` + `src/audio.py:179-226`) as ONE
 cold-queue dispatch pair at B=1 and B=4, reporting end-to-end wall latency
-per request. The stage programs are `__graft_entry__._serving_stages` — the
-exact jits bench.py times for throughput, so the two instruments are
-directly comparable.
+per request. The stage programs are `semi_tts_tpu.serve.serving_stages` —
+the exact jits `serve.TTSServer` deploys and bench.py times for throughput,
+so all three instruments describe the same program.
 
 The AR decode is weight-streaming-bound (~35 MB bf16/step), so B=1 latency
 is essentially the same device time as B=4 — the B=4 row shows how much
