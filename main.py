@@ -55,6 +55,11 @@ parser.add_argument("--mesh", default="", type=str,
                     help="Run over a DATAxMODEL device mesh, e.g. 4x2 "
                          "(data-parallel x tensor-parallel); applies to training "
                          "and the inference solvers. Default: single device.")
+parser.add_argument("--compile-cache", default="", type=str,
+                    help="Directory for JAX's persistent XLA compilation "
+                         "cache (also via SEMI_TTS_COMPILE_CACHE). Restarted "
+                         "runs with the same program shapes skip the 60-100 s "
+                         "TPU compiles. Empty = disabled.")
 parser.add_argument("--matmul-precision", default="default",
                     choices=["default", "high", "highest"],
                     help="Global precision for model matmuls/convs on TPU: "
@@ -85,6 +90,10 @@ if paras.matmul_precision != "default":
     import jax
 
     jax.config.update("jax_default_matmul_precision", paras.matmul_precision)
+
+from semi_tts_tpu.utils.compile_cache import maybe_enable_from_env
+
+maybe_enable_from_env(paras.compile_cache)
 
 # multi-host bring-up (env-driven; no-op single-process) — must precede the
 # first device query so jax.process_index()/process_count() are correct for

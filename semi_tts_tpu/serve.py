@@ -102,7 +102,15 @@ class TTSServer:
     """
 
     def __init__(self, cfg, featurizer, phn_attr, params, state, *,
-                 mesh=None, step_bucket=25, int8_weights=False):
+                 mesh=None, step_bucket=25, int8_weights=False,
+                 compile_cache=None):
+        if compile_cache:
+            from .utils.compile_cache import enable_compilation_cache
+
+            # serving cold-start is compile-dominated (minutes per decode-
+            # length bucket on the remote TPU); a rolling-restarted replica
+            # with the cache mounted warms up in seconds
+            enable_compilation_cache(compile_cache)
         self.cfg = cfg
         self.featurizer = featurizer
         self.phn_attr = phn_attr
@@ -126,7 +134,7 @@ class TTSServer:
 
     @classmethod
     def from_checkpoint(cls, config, ckpt_path, *, mesh=None, step_bucket=25,
-                        int8_weights=False):
+                        int8_weights=False, compile_cache=None):
         """Build from a training YAML (path or loaded dict) + checkpoint.
 
         Mirrors the inference solver's model assembly
@@ -179,7 +187,7 @@ class TTSServer:
         server = cls(cfg, featurizer,
                      None if phn_attr is None else jnp.asarray(phn_attr),
                      params, state, mesh=mesh, step_bucket=step_bucket,
-                     int8_weights=int8_weights)
+                     int8_weights=int8_weights, compile_cache=compile_cache)
         server.tokenizer = tokenizer
         return server
 
