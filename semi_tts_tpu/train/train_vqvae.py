@@ -142,12 +142,17 @@ class VqvaeTrainer(BaseSolver):
                 self.params = shard_params(self.params, self.mesh)
                 self.state = replicate(self.state, self.mesh)
             # optimizer state: unflatten into tx's structure; tx.init on the
-            # (possibly sharded) params doubles as the sharding template
+            # (possibly sharded) params doubles as the sharding template.
+            # Imported reference checkpoints carry optimizer=None
+            # (train/torch_import.py) — start the optimizer fresh there.
             template = self.tx.init(self.params)
-            self.opt_state = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(template),
-                jax.tree_util.tree_leaves(
-                    jax.tree_util.tree_map(jax.numpy.asarray, ckpt["optimizer"])))
+            if ckpt["optimizer"] is None:
+                self.opt_state = template
+            else:
+                self.opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(template),
+                    jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(jax.numpy.asarray, ckpt["optimizer"])))
             if self.mesh is not None:
                 self.opt_state = jax.tree_util.tree_map(
                     lambda t, v: jax.device_put(v, t.sharding)
