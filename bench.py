@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Headline benchmark (driver-run): on-device featurization throughput vs the
-reference's CPU pipeline, plus AR-decoder / train-step / Griffin-Lim numbers
-and MFU estimates.
+reference's CPU pipeline, plus AR-decoder / train-step / Griffin-Lim /
+serving-e2e numbers and MFU estimates.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
@@ -11,27 +11,77 @@ on CPU (torch.stft + mel matmul + dB + normalize, `src/audio.py:156-177`,
 driven from DataLoader workers `src/data.py:127-128`); we run exactly that
 math with torch on this host's CPU and compare mel-frames/sec.
 
+Deadline discipline (round-3 lesson: BENCH_r03 was rc=124 with ZERO keys):
+the whole bench runs under a global wall budget (default 660 s, override
+with SEMI_TTS_BENCH_BUDGET_S). Stages run most-important-first, each merges
+its keys into the shared result dict the moment it finishes, the clock is
+checked against a per-stage cost estimate before starting the next stage,
+and a watchdog thread prints the partial JSON and exits 0 if a stage wedges
+past the budget (remote XLA compiles cannot be cancelled from Python).
+Partial honest JSON always beats a timeout: skipped stages are listed under
+"stages_skipped".
+
 Timing methodology (axon tunnel): N iterations chained inside ONE jitted
 fori_loop, a single scalar float() readback (block_until_ready does not
 reliably flush the remote queue). The readback itself costs ~10 ms of
 tunnel latency, so N must be large enough to amortize it (profiler-checked:
 at N=3 the AR-decoder figure under-reported device throughput ~2x).
 Every timing — device chains AND the CPU baseline — is best-of-3, so a
-contended run on either side cannot skew the vs_baseline ratio. MFU = analytic dot/conv FLOPs
-(`utils.flops.matmul_flops`, scan-aware — XLA's own cost_analysis counts
-loop bodies once) / time / bf16 peak. These are *useful* FLOPs: dots at
-HIGH (bf16x3) precision execute 3 hardware passes per counted dot, so
-hardware busy-ness is up to 3x the reported MFU.
+contended run on either side cannot skew the vs_baseline ratio. MFU =
+analytic dot/conv FLOPs (`utils.flops.matmul_flops`, scan-aware — XLA's own
+cost_analysis counts loop bodies once) / time / bf16 peak. These are
+*useful* FLOPs: dots at HIGH (bf16x3) precision execute 3 hardware passes
+per counted dot, so hardware busy-ness is up to 3x the reported MFU.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
 
 V5E_BF16_PEAK = 197e12  # TPU v5e bf16 MXU peak FLOP/s
+
+# ---------------------------------------------------------------------------
+# Result sink: keys merge in as stages complete; exactly one JSON line is
+# ever printed (main at the end, or the budget watchdog on a wedged stage).
+
+_RESULTS: dict = {}
+_PRINT_LOCK = threading.Lock()
+_PRINTED = threading.Event()
+_T_START = time.time()
+
+
+def _merge(**kw):
+    with _PRINT_LOCK:
+        _RESULTS.update(kw)
+
+
+def _emit(exit_code=None):
+    """Assemble + print THE one JSON line from whatever has been measured."""
+    with _PRINT_LOCK:
+        if _PRINTED.is_set():
+            return
+        _PRINTED.set()
+        out = {
+            "metric": "featurization_mel_frames_per_sec",
+            "value": 0,
+            "unit": "mel-frames/s",
+            "vs_baseline": 0,
+        }
+        out.update(_RESULTS)
+        print(json.dumps(out), flush=True)
+    if exit_code is not None:
+        os._exit(exit_code)
+
+
+def _stage_log(name):
+    print("[bench %6.1fs] %s" % (time.time() - _T_START, name),
+          file=sys.stderr, flush=True)
 
 
 def _device_watchdog(timeout_s=300):
@@ -43,9 +93,6 @@ def _device_watchdog(timeout_s=300):
     thread and, if it doesn't answer within ``timeout_s``, print an honest
     error JSON line (still one line, still has metric/value/vs_baseline
     keys) and hard-exit, because the probe thread cannot be cancelled."""
-    import os
-    import threading
-
     done = threading.Event()
 
     def probe():
@@ -58,15 +105,9 @@ def _device_watchdog(timeout_s=300):
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     if not done.wait(timeout_s):
-        print(json.dumps({
-            "metric": "featurization_mel_frames_per_sec",
-            "value": 0,
-            "unit": "mel-frames/s",
-            "vs_baseline": 0,
-            "error": "device unresponsive after %ds (axon tunnel wedged?); "
-                     "no measurement possible" % timeout_s,
-        }), flush=True)
-        os._exit(2)
+        _merge(error="device unresponsive after %ds (axon tunnel wedged?); "
+                     "no measurement possible" % timeout_s)
+        _emit(exit_code=2)
 
 
 def _best_of(fn, n=3):
@@ -81,11 +122,56 @@ def _best_of(fn, n=3):
     return best
 
 
-def _bench_tpu_featurizer(waves, lengths, iters=20):
+# ---------------------------------------------------------------------------
+# Shared lazily-built context (full-size model, step builder, batches) so the
+# per-stage functions don't rebuild it.
+
+_CTX: dict = {}
+
+
+def _ctx():
+    if "cfg" not in _CTX:
+        import __graft_entry__ as g
+
+        cfg, feat, phn_attr, params, state = g._build("full")
+        _CTX.update(cfg=cfg, feat=feat, phn_attr=phn_attr, params=params,
+                    state=state, g=g)
+    return _CTX
+
+
+def _train_builder():
+    c = _ctx()
+    if "builder" not in c:
+        from semi_tts_tpu.train.optim import make_optimizer
+        from semi_tts_tpu.train.steps import StepBuilder, Weights
+
+        tx, _ = make_optimizer("Adam", 1e-3, "decay")
+        c["builder"] = StepBuilder(
+            c["cfg"], c["feat"], c["phn_attr"], tx,
+            weights=Weights(1.0, 1.0, 1.0, 10.0, 0, 0),
+            freq_loss_kwargs=dict(sample_rate=22050, n_mels=80, loss="mse",
+                                  differential_loss=True,
+                                  emphasize_linear_low=True))
+        c["opt_state"] = tx.init(c["params"])
+    return c["builder"], c["opt_state"]
+
+
+# ---------------------------------------------------------------------------
+# Stage: featurizer (TPU) + CPU reference baseline
+
+
+def _stage_feat_tpu(iters=20):
     import jax
     import jax.numpy as jnp
 
     from semi_tts_tpu.ops.features import AudioConfig, AudioFeaturizer
+    from semi_tts_tpu.utils.flops import matmul_flops
+
+    B, sec, sr = 128, 8.0, 22050
+    rng = np.random.RandomState(0)
+    S = int(sec * sr)
+    waves = (rng.randn(B, S) * 0.1).astype(np.float32)
+    lengths = rng.randint(int(0.7 * S), S + 1, size=B).astype(np.int32)
 
     feat = AudioFeaturizer(AudioConfig())
     wd, ld = jnp.asarray(waves), jnp.asarray(lengths)
@@ -103,28 +189,46 @@ def _bench_tpu_featurizer(waves, lengths, iters=20):
         s, _ = jax.lax.fori_loop(0, iters, body, (0.0, key))
         return s
 
+    # Frame counts in a SEPARATE tiny program: only the frame-length outputs
+    # are kept, so XLA dead-code-eliminates the mel math and this compiles in
+    # seconds (round 3's two standalone full featurize compiles cost ~1 min
+    # of the budget just to count frames).
+    @jax.jit
+    def frame_counts(w, l, key):
+        _, _, fl = feat.featurize(w, l)
+        _, al = feat.featurize_augmented(w, l, jax.random.fold_in(key, 0))
+        return fl.sum() + al.sum()
+
     key = jax.random.PRNGKey(0)
     float(chained(wd, ld, key))  # compile + warm
     dt = _best_of(lambda: float(chained(wd, ld, key))) / iters
-    from semi_tts_tpu.utils.flops import matmul_flops
-
     flops = matmul_flops(
         lambda w, l, k: (feat.featurize(w, l), feat.featurize_augmented(w, l, k)),
         wd, ld, key)
-    mfu = flops / dt / V5E_BF16_PEAK
-    _, _, fl = feat.featurize(wd, ld)
-    _, al = feat.featurize_augmented(wd, ld, key)
-    frames = int(np.asarray(fl).sum()) + int(np.asarray(al).sum())
-    return frames / dt, dt, mfu
+    frames = int(frame_counts(wd, ld, key))
+    rate = frames / dt
+    _merge(value=round(rate, 1),
+           featurize_batch_ms=round(dt * 1e3, 2),
+           featurization_mel_frames_per_device_sec=round(rate, 1),
+           featurizer_mfu_pct=round(100 * flops / dt / V5E_BF16_PEAK, 1),
+           # the frame count (numerator) includes BOTH the clean and the
+           # augmented pass of the fused program — the CPU baseline counts
+           # identically, so vs_baseline is apples-to-apples, but don't
+           # compare `value` against a clean-only featurization figure
+           featurization_counts_augmented_frames=True)
+    _CTX["_feat_inputs"] = (waves, lengths)
+    if "baseline_cpu_mel_frames_per_sec" in _RESULTS:
+        _merge(vs_baseline=round(rate / _RESULTS["baseline_cpu_mel_frames_per_sec"], 2))
 
 
-def _bench_cpu_reference(waves, lengths, n_files=8):
+def _stage_feat_cpu(n_files=8):
     """Literal torch restatement of the reference clean+augmented per-file
     pipeline on CPU (what its DataLoader workers compute per batch)."""
     import torch
 
     from semi_tts_tpu.ops.mel import mel_filterbank
 
+    waves, lengths = _CTX["_feat_inputs"]
     fb = torch.from_numpy(mel_filterbank(22050, 2048, n_mels=80))
     win = torch.hann_window(1102)
 
@@ -151,158 +255,152 @@ def _bench_cpu_reference(waves, lengths, n_files=8):
 
     # best-of-3: the single host CPU core is sometimes contended; taking the
     # best CPU throughput keeps the vs_baseline ratio conservative
-    best = 0.0
+    best, best_files = 0.0, 0.0
     for _ in range(3):
         frames = 0
         t0 = time.perf_counter()
         for i in range(n_files):
             x = torch.from_numpy(waves[i % len(waves), : lengths[i % len(waves)]].copy())
             frames += clean(x).shape[1] + aug(x).shape[1]
-        best = max(best, frames / (time.perf_counter() - t0))
-    return best
+        dt = time.perf_counter() - t0
+        best = max(best, frames / dt)
+        best_files = max(best_files, n_files / dt)
+    _merge(baseline_cpu_mel_frames_per_sec=round(best, 1),
+           baseline_cpu_files_per_sec=round(best_files, 2))
+    if "value" in _RESULTS and _RESULTS["value"]:
+        _merge(vs_baseline=round(_RESULTS["value"] / best, 2))
 
 
-def _bench_decoder(iters=24, batch_sizes=(64, 256, 512)):
+# ---------------------------------------------------------------------------
+# Stage: AR decoder (per batch size)
+
+
+def _decoder_infer(B, decode_steps=200, U=32):
+    import jax
+    import jax.numpy as jnp
+
+    from semi_tts_tpu.models import vqvae as V
+
+    c = _ctx()
+    cfg, phn_attr = c["cfg"], c["phn_attr"]
+    rng = np.random.RandomState(0)
+    text = np.zeros((B, U), np.int32)
+    text[:, : U - 2] = rng.randint(3, 43, size=(B, U - 2))
+    sid = jnp.asarray(rng.randint(0, 109, size=B).astype(np.int32))
+    text = jnp.asarray(text)
+
+    @jax.jit
+    def infer(params, state, text, sid, key):
+        lat = V.embed_text(params, cfg, phn_attr, text)
+        mel, lin, align, stop, _ = V.text_to_speech(
+            params, state, key, cfg, lat, sid, decode_steps=decode_steps,
+            train=False, teacher=None, tf_rate=0.0)
+        return mel
+    return infer, text, sid
+
+
+def _stage_decoder(B, with_mfu, iters=24, decode_steps=200):
     """AR decoder mel-frames/sec/chip on the full-size Tacotron2 stack.
 
     The decode loop is weight-streaming-bound (~37 MB of bf16-converted
     LSTM/attention weights re-read per step), so throughput scales with
-    serving batch; the first batch size is the headline (with MFU), the
-    rest are serving-farm figures. Returns {B: rate}, mfu_of_first.
-    """
+    serving batch; B=64 is the headline (with MFU), B=256/512 are the
+    serving-farm figures."""
     import jax
-    import jax.numpy as jnp
 
-    import __graft_entry__ as g
-    from semi_tts_tpu.models import vqvae as V
-
-    cfg, feat, phn_attr, params, state = g._build("full")
-    U = 32
-    decode_steps = 200  # 600 mel frames / utterance
-    rates, mfu = {}, None
-    for B in batch_sizes:
-        rng = np.random.RandomState(0)
-        text = np.zeros((B, U), np.int32)
-        text[:, : U - 2] = rng.randint(3, 43, size=(B, U - 2))
-        sid = jnp.asarray(rng.randint(0, 109, size=B).astype(np.int32))
-        text = jnp.asarray(text)
-
-        @jax.jit
-        def infer(params, state, text, sid, key):
-            lat = V.embed_text(params, cfg, phn_attr, text)
-            mel, lin, align, stop, _ = V.text_to_speech(
-                params, state, key, cfg, lat, sid, decode_steps=decode_steps,
-                train=False, teacher=None, tf_rate=0.0)
-            return mel
-
-        @jax.jit
-        def chained(params, state, text, sid, key):
-            def body(i, s):
-                mel = infer(params, state, text, sid, jax.random.fold_in(key, i))
-                return s + mel[0, 0, 0]
-            return jax.lax.fori_loop(0, iters, body, 0.0)
-
-        key = jax.random.PRNGKey(0)
-        float(chained(params, state, text, sid, key))  # compile + warm
-        dt = _best_of(lambda: float(chained(params, state, text, sid, key))) / iters
-        rates[B] = (B * decode_steps * cfg.n_frames_per_step) / dt
-        if mfu is None:  # analytic-FLOPs MFU for the headline batch only
-            from semi_tts_tpu.utils.flops import matmul_flops
-
-            flops = matmul_flops(infer, params, state, text, sid, key)
-            mfu = flops / dt / V5E_BF16_PEAK
-    return rates, mfu
-
-
-def _bench_train_steps(iters=12):
-    """Full-size semi-supervised train-step wall times (paired /
-    speech-first / text-first cycles, B=8 paired + B=8 unpaired, 6 s waves) —
-    the TPU counterpart of the reference's only perf instrument, the
-    ``sec/step`` line (`src/util.py:35-43`)."""
-
-    import jax
-    import jax.numpy as jnp
-
-    import __graft_entry__ as g
-    from semi_tts_tpu.train.optim import make_optimizer
-    from semi_tts_tpu.train.steps import StepBuilder, Weights
-
-    cfg, feat, phn_attr, params, state = g._build("full")
-    tx, _ = make_optimizer("Adam", 1e-3, "decay")
-    builder = StepBuilder(cfg, feat, phn_attr, tx,
-                          weights=Weights(1.0, 1.0, 1.0, 10.0, 0, 0),
-                          freq_loss_kwargs=dict(sample_rate=22050, n_mels=80,
-                                                loss="mse", differential_loss=True,
-                                                emphasize_linear_low=True))
-    opt_state = tx.init(params)
-    B = 8
-    waves, wave_len, text, sid = g._example_batch(B, 6.0, U=32, seed=0)
-    u_waves, u_wave_len, u_text, u_sid = g._example_batch(B, 6.0, U=32, seed=1)
-    pair = tuple(map(jnp.asarray, (waves, wave_len, text, sid)))
-    unpair = tuple(map(jnp.asarray, (u_waves, u_wave_len, u_text, u_sid)))
-    key = jax.random.PRNGKey(0)
-
-    from semi_tts_tpu.utils.flops import matmul_flops
-
-    def _mfu(step, dt, *args):
-        flops = matmul_flops(
-            lambda *a: step(*a), params, state, opt_state, key, 1, 0.9, *args)
-        return flops / dt / V5E_BF16_PEAK
-
-    variants = {
-        "paired": (builder.make_paired_step(), pair),
-        "speech_first": (builder.make_speech_first_step(), pair + unpair),
-        "text_first": (builder.make_text_first_step(), pair + unpair),
-    }
-    out = {}
-    mfu_paired = None
-    for name, (step, args) in variants.items():
-        @jax.jit
-        def chained(params, state, opt_state, key, *args):
-            def body(i, c):
-                p, s, o = c
-                p, s, o, _ = step(p, s, o, key, i, 0.9, *args)
-                return (p, s, o)
-            p, s, o = jax.lax.fori_loop(0, iters, body, (params, state, opt_state))
-            return jax.tree_util.tree_leaves(p)[0].reshape(-1)[0]
-
-        float(chained(params, state, opt_state, key, *args))  # compile + warm
-        dt = _best_of(
-            lambda: float(chained(params, state, opt_state, key, *args))) / iters
-        out[name] = dt
-        if name == "paired":
-            mfu_paired = _mfu(step, dt, *args)
-
-    # paired step at production batch B=64: the weight-streaming reads
-    # amortize across the batch (tools/batch_scaling.py has the full sweep)
-    pair64 = tuple(map(jnp.asarray, g._example_batch(64, 6.0, U=32, seed=0)))
-    step64 = builder.make_paired_step()
+    c = _ctx()
+    params, state, cfg = c["params"], c["state"], c["cfg"]
+    infer, text, sid = _decoder_infer(B, decode_steps)
 
     @jax.jit
-    def chained64(params, state, opt_state, key, *args):
-        def body(i, c):
-            p, s, o = c
-            p, s, o, _ = step64(p, s, o, key, i, 0.9, *args)
+    def chained(params, state, text, sid, key):
+        def body(i, s):
+            mel = infer(params, state, text, sid, jax.random.fold_in(key, i))
+            return s + mel[0, 0, 0]
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    key = jax.random.PRNGKey(0)
+    float(chained(params, state, text, sid, key))  # compile + warm
+    dt = _best_of(lambda: float(chained(params, state, text, sid, key))) / iters
+    rate = (B * decode_steps * cfg.n_frames_per_step) / dt
+    suffix = "" if B == 64 else "_b%d" % B
+    _merge(**{"ar_decoder_mel_frames_per_sec_per_chip" + suffix: round(rate, 1)})
+    if with_mfu:
+        from semi_tts_tpu.utils.flops import matmul_flops
+
+        flops = matmul_flops(infer, params, state, text, sid, key)
+        _merge(ar_decoder_mfu_pct=round(100 * flops / dt / V5E_BF16_PEAK, 1))
+
+
+# ---------------------------------------------------------------------------
+# Stage: train steps (per variant/batch)
+
+
+def _train_batches(B):
+    import jax.numpy as jnp
+
+    g = _ctx()["g"]
+    pair = tuple(map(jnp.asarray, g._example_batch(B, 6.0, U=32, seed=0)))
+    unpair = tuple(map(jnp.asarray, g._example_batch(B, 6.0, U=32, seed=1)))
+    return pair, unpair
+
+
+def _stage_train(variant, B=8, with_mfu=False, iters=12):
+    """Full-size semi-supervised train-step wall time (paired / speech-first
+    / text-first cycles, B paired [+ B unpaired], 6 s waves) — the TPU
+    counterpart of the reference's only perf instrument, the ``sec/step``
+    line (`src/util.py:35-43`)."""
+    import jax
+
+    c = _ctx()
+    builder, opt_state = _train_builder()
+    params, state = c["params"], c["state"]
+    pair, unpair = _train_batches(B)
+    make = {"paired": builder.make_paired_step,
+            "speech_first": builder.make_speech_first_step,
+            "text_first": builder.make_text_first_step}[variant]
+    step = make()
+    args = pair if variant == "paired" else pair + unpair
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def chained(params, state, opt_state, key, *args):
+        def body(i, cy):
+            p, s, o = cy
+            p, s, o, _ = step(p, s, o, key, i, 0.9, *args)
             return (p, s, o)
         p, s, o = jax.lax.fori_loop(0, iters, body, (params, state, opt_state))
         return jax.tree_util.tree_leaves(p)[0].reshape(-1)[0]
 
-    float(chained64(params, state, opt_state, key, *pair64))  # compile + warm
-    out["paired_b64"] = _best_of(
-        lambda: float(chained64(params, state, opt_state, key, *pair64))) / iters
-    return out, mfu_paired, _mfu(step64, out["paired_b64"], *pair64)
+    float(chained(params, state, opt_state, key, *args))  # compile + warm
+    dt = _best_of(
+        lambda: float(chained(params, state, opt_state, key, *args))) / iters
+    suffix = "" if B == 8 else "_b%d" % B
+    _merge(**{"train_step_ms_%s%s" % (variant, suffix): round(dt * 1e3, 1)})
+    if B != 8:
+        _merge(**{"train_step_utt_per_sec%s" % suffix: round(B / dt, 1)})
+    if with_mfu:
+        from semi_tts_tpu.utils.flops import matmul_flops
+
+        flops = matmul_flops(lambda *a: step(*a), params, state, opt_state,
+                             key, 1, 0.9, *args)
+        _merge(**{"train_step_mfu_pct%s" % suffix:
+                  round(100 * flops / dt / V5E_BF16_PEAK, 1)})
 
 
-def _bench_griffin_lim(iters=16):
+# ---------------------------------------------------------------------------
+# Stage: Griffin-Lim vocoder
+
+
+def _stage_griffin_lim(iters=16):
     """Batched Griffin-Lim vocoder throughput (B=16 utterances of ~7.5 s,
     30 iterations — `src/audio.py:179-226`)."""
     import jax
     import jax.numpy as jnp
 
-    from semi_tts_tpu.ops.features import AudioConfig, AudioFeaturizer
     from semi_tts_tpu.ops.griffin_lim import griffin_lim
 
-    feat = AudioFeaturizer(AudioConfig())
+    feat = _ctx()["feat"]
     c = feat.cfg
     B, T = 16, 600
     rng = np.random.RandomState(0)
@@ -320,120 +418,160 @@ def _bench_griffin_lim(iters=16):
 
     float(chained(amp, key))  # compile + warm
     dt = _best_of(lambda: float(chained(amp, key))) / iters
-    return B / dt, dt
+    _merge(griffin_lim_utt_per_sec=round(B / dt, 1),
+           griffin_lim_batch_ms=round(dt * 1e3, 1))
 
 
-def _bench_tts_e2e(iters=8, batch_sizes=(16, 64), decode_steps=200):
+# ---------------------------------------------------------------------------
+# Stage: serving e2e throughput (per batch) + single-request latency
+
+
+def _serving(decode_steps=200):
+    c = _ctx()
+    key = "serving_%d" % decode_steps
+    if key not in c:
+        c[key] = c["g"]._serving_stages(c["cfg"], c["feat"], c["phn_attr"],
+                                        decode_steps)
+    return c[key]
+
+
+def _stage_tts_e2e(B, iters=8, decode_steps=200):
     """Full serving pipeline: text -> codebook embed -> Tacotron2 (AR decode
     + CBHG mel->linear) -> denormalize -> Griffin-Lim -> waveform. The
     `--gen-wav` path (`train/gen_specgram.py:126-145`, reference
     `bin/gen_specgram.py:89-129` + `src/audio.py:179-226`) at serving batch;
-    utterances are 600 mel frames (~7.5 s).
-
-    Structured exactly like production serving: TWO stage programs
-    (synthesis, vocoder) chained by async dispatch with a single scalar
-    readback at the end. One fused program hits pathological remote-compile
-    times at B>16 (the tunnel compile of the text->decode->GL monolith never
-    finished at B=32/64 in 15 min); the split stages each compile in
-    minutes, which is what makes the B=64 figure measurable at all.
-    Returns {B: (utt/s, realtime-factor)}.
-    """
+    utterances are 600 mel frames (~7.5 s). TWO stage programs (synthesis,
+    vocoder) chained by async dispatch with a single scalar readback at the
+    end — the exact programs `serve.TTSServer` deploys; one fused program
+    hits pathological remote-compile times at B>16."""
     import jax
 
-    import __graft_entry__ as g
+    c = _ctx()
+    cfg, feat = c["cfg"], c["feat"]
+    params, state = c["params"], c["state"]
+    audio_sec = decode_steps * cfg.n_frames_per_step * feat.cfg.hop_length \
+        / feat.cfg.sample_rate
+    synth, vocode = _serving(decode_steps)
+    text, sid = c["g"]._serving_inputs(B)
+    # Pre-materialize per-iteration keys OUTSIDE the timed region so the
+    # timed loop issues nothing but the two stage dispatches.
+    keys = [k for k in jax.random.split(jax.random.PRNGKey(0), 2 * iters)]
 
-    cfg, feat, phn_attr, params, state = g._build("full")
-    c = feat.cfg
-    audio_sec_per_utt = decode_steps * cfg.n_frames_per_step * c.hop_length / c.sample_rate
-    synth, vocode = g._serving_stages(cfg, feat, phn_attr, decode_steps)
-    results = {}
-    for B in batch_sizes:
-        text, sid = g._serving_inputs(B)
+    def run():
+        last = None
+        for i in range(iters):
+            amp = synth(params, state, text, sid, keys[2 * i])
+            last = vocode(amp, keys[2 * i + 1])
+        return float(last[0, 0])  # single scalar readback flushes the queue
 
-        # Pre-materialize per-iteration keys OUTSIDE the timed region so the
-        # timed loop issues nothing but the two stage dispatches.
-        keys = [k for k in jax.random.split(jax.random.PRNGKey(0), 2 * iters)]
+    run()  # compile + warm both stages
+    dt = _best_of(run) / iters
+    suffix = "" if B == 16 else "_b%d" % B
+    _merge(**{"tts_e2e_utt_per_sec" + suffix: round(B / dt, 1),
+              "tts_e2e_realtime_factor" + suffix: round(B * audio_sec / dt, 1)})
 
-        def run():
-            last = None
-            for i in range(iters):
-                amp = synth(params, state, text, sid, keys[2 * i])
-                last = vocode(amp, keys[2 * i + 1])
-            return float(last[0, 0])  # single scalar readback flushes the queue
 
-        run()  # compile + warm both stages
-        dt = _best_of(run) / iters
-        results[B] = (B / dt, B * audio_sec_per_utt / dt)
-    return results
+def _stage_serve_latency(B=1, repeats=8, decode_steps=200):
+    """Latency of ONE request arriving alone (tools/serve_latency.py
+    methodology): a single synth+vocode dispatch pair with the readback a
+    real request pays — intentionally NOT fori-chained."""
+    import jax
+
+    c = _ctx()
+    params, state = c["params"], c["state"]
+    cfg, feat = c["cfg"], c["feat"]
+    audio_sec = decode_steps * cfg.n_frames_per_step * feat.cfg.hop_length \
+        / feat.cfg.sample_rate
+    synth, vocode = _serving(decode_steps)
+    text, sid = c["g"]._serving_inputs(B)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+
+    def request():
+        wav = vocode(synth(params, state, text, sid, k1), k2)
+        return float(wav[0, 0])  # scalar readback = request completion
+
+    request()  # compile + warm (B=1 programs are distinct from B=16's)
+    lat = min(_best_of(request, n=1) for _ in range(repeats))
+    _merge(**{"serve_latency_ms_b%d" % B: round(lat * 1e3, 1),
+              "serve_latency_realtime_factor_b%d" % B:
+                  round(audio_sec / lat, 1)})
+
+
+# ---------------------------------------------------------------------------
 
 
 def main():
     # Persistent XLA compile cache: the bench's dominant wall cost is the
-    # remote compiles (the two serving-stage programs alone are minutes
-    # each); re-runs on the same host hit the cache and measure in a
-    # fraction of the time. Execution timings are unaffected (the cache
-    # stores compiled executables, not measurements).
+    # remote compiles; re-runs on the same host hit the cache and measure in
+    # a fraction of the time. Execution timings are unaffected (the cache
+    # stores compiled executables, not measurements). Per-user dir (0700) so
+    # multi-user hosts neither collide nor deserialize another user's
+    # entries; SEMI_TTS_COMPILE_CACHE overrides.
+    import getpass
+    import tempfile
+
     from semi_tts_tpu.utils.compile_cache import enable_compilation_cache
 
-    enable_compilation_cache("/tmp/semi_tts_xla_cache")
+    enable_compilation_cache(
+        os.environ.get("SEMI_TTS_COMPILE_CACHE")
+        or os.path.join(tempfile.gettempdir(),
+                        "semi_tts_xla_cache_%s" % getpass.getuser()))
     _device_watchdog()
 
-    import sys
-    t_start = time.time()
+    budget = float(os.environ.get("SEMI_TTS_BENCH_BUDGET_S", "660"))
+    deadline = _T_START + budget
+    _merge(bench_budget_s=budget)
 
-    def stage(name):  # stderr progress; stdout stays ONE JSON line
-        print("[bench %6.1fs] %s" % (time.time() - t_start, name),
-              file=sys.stderr, flush=True)
-    B, sec, sr = 128, 8.0, 22050
-    rng = np.random.RandomState(0)
-    S = int(sec * sr)
-    waves = (rng.randn(B, S) * 0.1).astype(np.float32)
-    lengths = rng.randint(int(0.7 * S), S + 1, size=B).astype(np.int32)
+    def _budget_watchdog():
+        # Belt-and-braces: if a stage wedges inside an uncancellable remote
+        # compile, print whatever has been measured and exit 0 just before
+        # the budget expires.
+        remaining = deadline - time.time() - 5.0
+        if remaining > 0 and _PRINTED.wait(remaining):
+            return
+        _stage_log("budget watchdog fired — emitting partial results")
+        skipped = _RESULTS.get("stages_skipped", [])
+        _merge(stages_skipped=skipped + ["<budget watchdog cut the run>"])
+        _emit(exit_code=0)
 
-    stage("featurizer (TPU)")
-    tpu_rate, step_dt, feat_mfu = _bench_tpu_featurizer(waves, lengths)
-    stage("featurizer (CPU reference baseline)")
-    cpu_rate = _bench_cpu_reference(waves, lengths)
-    stage("AR decoder B=64/256/512")
-    dec_rates, dec_mfu = _bench_decoder()
-    stage("train steps")
-    train_ms, train_mfu, train_mfu_b64 = _bench_train_steps()
-    stage("Griffin-Lim")
-    gl_rate, gl_dt = _bench_griffin_lim()
-    stage("serving e2e B=16/64")
-    e2e = _bench_tts_e2e()
-    stage("done")
+    threading.Thread(target=_budget_watchdog, daemon=True).start()
 
-    print(json.dumps({
-        "metric": "featurization_mel_frames_per_sec",
-        # `value` is device-time-derived (frames / chained device seconds) —
-        # the figure that is stable across runs; vs_baseline divides by the
-        # co-measured host-CPU reference pipeline (volatile with host load)
-        "value": round(tpu_rate, 1),
-        "unit": "mel-frames/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2),
-        "baseline_cpu_mel_frames_per_sec": round(cpu_rate, 1),
-        "featurize_batch_ms": round(step_dt * 1e3, 2),
-        "featurization_mel_frames_per_device_sec": round(tpu_rate, 1),
-        "featurizer_mfu_pct": round(100 * feat_mfu, 1),
-        "ar_decoder_mel_frames_per_sec_per_chip": round(dec_rates[64], 1),
-        "ar_decoder_mel_frames_per_sec_per_chip_b256": round(dec_rates[256], 1),
-        "ar_decoder_mel_frames_per_sec_per_chip_b512": round(dec_rates[512], 1),
-        "ar_decoder_mfu_pct": round(100 * dec_mfu, 1),
-        "train_step_ms_paired": round(train_ms["paired"] * 1e3, 1),
-        "train_step_ms_speech_first": round(train_ms["speech_first"] * 1e3, 1),
-        "train_step_ms_text_first": round(train_ms["text_first"] * 1e3, 1),
-        "train_step_mfu_pct": round(100 * train_mfu, 1),
-        "train_step_ms_paired_b64": round(train_ms["paired_b64"] * 1e3, 1),
-        "train_step_utt_per_sec_b64": round(64 / train_ms["paired_b64"], 1),
-        "train_step_mfu_pct_b64": round(100 * train_mfu_b64, 1),
-        "griffin_lim_utt_per_sec": round(gl_rate, 1),
-        "griffin_lim_batch_ms": round(gl_dt * 1e3, 1),
-        "tts_e2e_utt_per_sec": round(e2e[16][0], 1),
-        "tts_e2e_realtime_factor": round(e2e[16][1], 1),
-        "tts_e2e_utt_per_sec_b64": round(e2e[64][0], 1),
-        "tts_e2e_realtime_factor_b64": round(e2e[64][1], 1),
-    }))
+    # (name, estimated cold-cache cost in s, fn) — most important first: the
+    # budget cuts from the tail, never the headline. Estimates are from the
+    # round-3 stderr stage clock (BENCH_r03.json) + margin.
+    stages = [
+        ("featurizer_tpu", 170, _stage_feat_tpu),
+        ("featurizer_cpu_baseline", 20, _stage_feat_cpu),
+        ("decoder_b64", 90, lambda: _stage_decoder(64, with_mfu=True)),
+        ("train_paired_b8", 115, lambda: _stage_train("paired", 8, with_mfu=True)),
+        ("train_paired_b64", 115, lambda: _stage_train("paired", 64, with_mfu=True)),
+        ("tts_e2e_b16", 230, lambda: _stage_tts_e2e(16)),
+        ("serve_latency_b1", 130, lambda: _stage_serve_latency(1)),
+        ("griffin_lim", 60, _stage_griffin_lim),
+        ("train_speech_first_b8", 110, lambda: _stage_train("speech_first", 8)),
+        ("train_text_first_b8", 110, lambda: _stage_train("text_first", 8)),
+        ("decoder_b256", 60, lambda: _stage_decoder(256, with_mfu=False)),
+        ("decoder_b512", 60, lambda: _stage_decoder(512, with_mfu=False)),
+        ("tts_e2e_b64", 200, lambda: _stage_tts_e2e(64)),
+    ]
+    skipped = []
+    for name, est, fn in stages:
+        remaining = deadline - time.time()
+        if remaining < est:
+            skipped.append(name)
+            _stage_log("SKIP %s (est %ds > %.0fs left)" % (name, est, remaining))
+            continue
+        _stage_log(name)
+        try:
+            fn()
+        except Exception as e:  # a broken stage must not forfeit the rest
+            _stage_log("ERROR in %s: %r" % (name, e))
+            skipped.append(name + ":error")
+            _merge(**{"error_" + name: repr(e)[:200]})
+    if skipped:
+        _merge(stages_skipped=skipped)
+    _stage_log("done (%.1fs)" % (time.time() - _T_START))
+    _emit()
 
 
 if __name__ == "__main__":

@@ -37,7 +37,7 @@ compiled programs instead of recompiling per length.
 
 from __future__ import annotations
 
-import functools
+from collections import OrderedDict
 
 import numpy as np
 
@@ -94,16 +94,27 @@ class TTSServer:
     ...                                     "ckpt/best_tts_loss.pth")
     >>> wav = server.synthesize(text_ids, speaker_ids)   # (B, S) float32
 
-    Per-length stage programs are compiled once and cached (decode lengths
-    are bucketed to multiples of ``step_bucket`` macro-steps). Pass a
+    Per-length stage programs are compiled once and kept in a bounded
+    per-instance LRU (decode lengths are bucketed to multiples of
+    ``step_bucket`` macro-steps, so a handful of entries covers real
+    traffic; ``program_cache_size`` bounds the worst case — a long-lived
+    endpoint fed adversarial text lengths evicts the least-recently-used
+    program instead of accumulating compiled executables without limit;
+    with ``compile_cache`` set, a re-requested evicted bucket re-loads from
+    the on-disk cache instead of re-invoking XLA). Pass a
     `jax.sharding.Mesh` to shard the request batch over the ``data`` axis
     and the weights over the ``model`` axis (batch must divide the data
     axis; TP2 output equality is covered by `tests/test_parallel.py`).
+
+    Note: the persistent compile cache is process-global and
+    last-writer-wins — constructing two servers with different
+    ``compile_cache`` dirs in one process re-points later compiles of BOTH
+    at the second directory (`utils/compile_cache.py`).
     """
 
     def __init__(self, cfg, featurizer, phn_attr, params, state, *,
                  mesh=None, step_bucket=25, int8_weights=False,
-                 compile_cache=None):
+                 compile_cache=None, program_cache_size=8):
         if compile_cache:
             from .utils.compile_cache import enable_compilation_cache
 
@@ -123,6 +134,8 @@ class TTSServer:
         self.params = params
         self.state = state
         self.step_bucket = int(step_bucket)
+        self.program_cache_size = max(1, int(program_cache_size))
+        self._programs: OrderedDict = OrderedDict()
         self.qweights = None
         if int8_weights:
             from .ops.qmatmul import quantize_decoder
@@ -202,11 +215,28 @@ class TTSServer:
         b = self.step_bucket
         return ((steps + b - 1) // b) * b
 
-    @functools.lru_cache(maxsize=None)
+    def _cached_program(self, kind, decode_steps, build):
+        """Bounded LRU over compiled stage programs, keyed by (kind, length).
+
+        Eviction drops the jitted callables (and with them the compiled
+        executables); a later request for that bucket rebuilds them — from
+        the persistent compile cache in seconds when one is configured."""
+        key = (kind, int(decode_steps))
+        if key in self._programs:
+            self._programs.move_to_end(key)
+            return self._programs[key]
+        prog = build()
+        self._programs[key] = prog
+        while len(self._programs) > self.program_cache_size:
+            self._programs.popitem(last=False)
+        return prog
+
     def stages(self, decode_steps: int):
-        """(synth, vocode) jits for one bucketed decode length (cached)."""
-        return serving_stages(self.cfg, self.featurizer, self.phn_attr,
-                              decode_steps, qweights=self.qweights)
+        """(synth, vocode) jits for one bucketed decode length (LRU-cached)."""
+        return self._cached_program(
+            "stages", decode_steps,
+            lambda: serving_stages(self.cfg, self.featurizer, self.phn_attr,
+                                   decode_steps, qweights=self.qweights))
 
     # ---- request paths -----------------------------------------------------
 
@@ -264,8 +294,11 @@ class TTSServer:
         return dict(wav=np.asarray(wav), mel=np.asarray(mel),
                     linear=np.asarray(lin), align=out_align)
 
-    @functools.lru_cache(maxsize=None)
     def _full_stage(self, decode_steps: int):
+        return self._cached_program(
+            "full", decode_steps, lambda: self._build_full_stage(decode_steps))
+
+    def _build_full_stage(self, decode_steps: int):
         cfg, featurizer, phn_attr = self.cfg, self.featurizer, self.phn_attr
         qweights = self.qweights
 

@@ -106,6 +106,38 @@ def make_optimizer(optimizer: str = "Adam", lr: float = 1e-3, lr_scheduler: str 
     return tx, schedule
 
 
+def advance_lr_schedule(opt_state, step: int):
+    """Fast-forward the LR schedule count of a FRESH opt_state to ``step``.
+
+    Used when resuming from an imported reference checkpoint
+    (train/torch_import.py): torch Adam moments cannot be carried over, so
+    the optimizer restarts from ``tx.init`` — but the Noam schedule count
+    lives in the opt_state too (`optax.ScaleByScheduleState`), and leaving
+    it at 0 would silently restart warmup, ramping a converged model back to
+    peak LR at step ``warmup`` (`src/optim.py:19-27` has no such reset: the
+    reference recomputes lr from the carried global_step every step).
+
+    Only the schedule count is advanced. The Adam count deliberately stays 0:
+    its moments ARE fresh zeros, and the count's sole job is bias-correcting
+    those moments' zero-initialization — advancing it with empty moments
+    would skip the correction and scale the first updates wrongly.
+    """
+
+    def fix(node):
+        if isinstance(node, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(
+                count=jnp.asarray(step, dtype=node.count.dtype))
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # namedtuple
+            return type(node)(*(fix(v) for v in node))
+        if isinstance(node, (tuple, list)):
+            return type(node)(fix(v) for v in node)
+        if isinstance(node, dict):
+            return {k: fix(v) for k, v in node.items()}
+        return node
+
+    return fix(opt_state)
+
+
 def global_norm(grads):
     return optax.global_norm(grads)
 

@@ -20,8 +20,10 @@ and dropped — their values live in the config / data files here.
 
 The optimizer moments are NOT imported (torch Adam state is index-keyed and
 layout-coupled); an imported checkpoint carries ``opt_state=None`` and the
-trainers fall back to a fresh ``tx.init`` — the Noam schedule only needs
-``global_step``, which is carried.
+trainers fall back to a fresh ``tx.init`` with the Noam schedule count
+fast-forwarded to the carried ``global_step``
+(`train/optim.py:advance_lr_schedule`) — the schedule resumes at the
+converged-model LR instead of silently restarting warmup.
 """
 
 from __future__ import annotations

@@ -144,10 +144,17 @@ class VqvaeTrainer(BaseSolver):
             # optimizer state: unflatten into tx's structure; tx.init on the
             # (possibly sharded) params doubles as the sharding template.
             # Imported reference checkpoints carry optimizer=None
-            # (train/torch_import.py) — start the optimizer fresh there.
+            # (train/torch_import.py) — start Adam's moments fresh there but
+            # fast-forward the Noam schedule to the carried global_step, so
+            # fine-tuning a converged import does NOT restart warmup at
+            # peak-LR ramp (the reference recomputes lr from global_step,
+            # `src/optim.py:19-27`).
             template = self.tx.init(self.params)
             if ckpt["optimizer"] is None:
-                self.opt_state = template
+                from .optim import advance_lr_schedule
+
+                self.opt_state = advance_lr_schedule(
+                    template, ckpt["global_step"])
             else:
                 self.opt_state = jax.tree_util.tree_unflatten(
                     jax.tree_util.tree_structure(template),

@@ -21,33 +21,38 @@ from __future__ import annotations
 
 import os
 
-_enabled_dir: str | None = None
+_enabled: tuple | None = None  # (dir, min_compile_seconds, min_entry_bytes)
 
 
 def enable_compilation_cache(cache_dir: str, *, min_compile_seconds: float = 1.0,
                              min_entry_bytes: int = 0) -> str:
     """Point JAX's persistent compilation cache at ``cache_dir`` (created if
-    missing). Process-global; calling again with the same directory is a
-    no-op, with a different one re-points the cache.
+    missing, mode 0700 so cache entries — deserialized compiled executables —
+    are never shared across users). Process-global and last-writer-wins:
+    calling again with the same (dir, thresholds) is a no-op; any changed
+    value re-applies, re-pointing every later compile in the process.
 
     ``min_compile_seconds``: only persist programs whose compile took at
     least this long (default 1 s — skips the hundreds of trivial op-by-op
     programs, keeps every model-sized one). ``min_entry_bytes``: additional
     size floor; pass -1 to persist everything (used by tests).
     """
-    global _enabled_dir
+    global _enabled
     import jax
 
     cache_dir = os.path.abspath(os.path.expanduser(cache_dir))
-    if _enabled_dir == cache_dir:
+    config = (cache_dir, float(min_compile_seconds), int(min_entry_bytes))
+    if _enabled == config:
         return cache_dir
-    os.makedirs(cache_dir, exist_ok=True)
+    # mode applies only on creation; an existing (possibly shared) dir is
+    # left alone — callers who need isolation pass a per-user path
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_seconds))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes",
                       int(min_entry_bytes))
-    _enabled_dir = cache_dir
+    _enabled = config
     return cache_dir
 
 

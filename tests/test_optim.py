@@ -1,6 +1,7 @@
 """Optimizer schedules vs the reference formulas (src/optim.py) and the
 grad-clip / NaN-skip chain (src/solver.py:138-151)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,3 +107,36 @@ def test_optimizer_facade():
     assert opt.recon_rate(0) == 2.0
     assert opt.recon_rate(10**9) == 1.0
     assert "Adam" in opt.create_msg()[0]
+
+
+def test_advance_lr_schedule_resumes_noam_from_step():
+    """Imported reference checkpoints restart Adam fresh but must NOT restart
+    the Noam warmup: `advance_lr_schedule` fast-forwards the schedule count
+    so the first update after import is scaled by schedule(global_step), not
+    schedule(0) (`src/optim.py:19-27` recomputes lr from the carried step)."""
+    import optax
+
+    from semi_tts_tpu.train.optim import advance_lr_schedule
+
+    tx, sched = make_optimizer("Adam", 1e-3, "decay")
+    params = {"w": jnp.ones(4)}
+    step = 50_000
+    fresh = tx.init(params)
+    resumed = advance_lr_schedule(fresh, step)
+
+    # the schedule count leaf carries the step; adam's moments/count stay fresh
+    assert int(resumed.inner_state[-1].count) == step
+    assert isinstance(resumed.inner_state[-1], optax.ScaleByScheduleState)
+    assert int(resumed.inner_state[1].count) == 0
+    assert float(jnp.abs(resumed.inner_state[1].mu["w"]).max()) == 0.0
+    # everything else (structure) is untouched
+    assert jax.tree_util.tree_structure(resumed) == jax.tree_util.tree_structure(fresh)
+
+    # the realized first-update magnitude follows schedule(step): adam
+    # normalizes the gradient to ~unit scale, so |update| ~= lr(step)
+    g = {"w": jnp.full(4, 0.5)}
+    upd_resumed, _ = tx.update(g, resumed, params)
+    upd_fresh, _ = tx.update(g, fresh, params)
+    ratio = float(jnp.abs(upd_resumed["w"]).max() / jnp.abs(upd_fresh["w"]).max())
+    want = float(sched(step) / sched(0))
+    assert abs(ratio - want) / want < 1e-4

@@ -146,6 +146,54 @@ def test_server_mesh_sharded_equals_single(served):
     assert wav.shape[0] == 2 and np.isfinite(wav).all()
 
 
+def test_program_cache_eviction_recompiles(served):
+    """The per-instance program cache is BOUNDED (a long-lived endpoint fed
+    adversarial text lengths must not grow compiled programs without limit):
+    eviction drops the LRU program and a re-requested bucket recompiles to
+    an identical result."""
+    server, cfg, phn_attr, params, state = served
+    small = TTSServer(cfg, server.featurizer, phn_attr, params, state,
+                      program_cache_size=1)
+    text, sid = _requests()
+    key = jax.random.PRNGKey(17)
+    wav_a = small.synthesize(text, sid, key, decode_steps=4)
+    first = small.stages(4)
+    small.synthesize(text, sid, key, decode_steps=8)  # evicts the 4-bucket
+    assert ("stages", 4) not in small._programs
+    assert len(small._programs) == 1
+    wav_b = small.synthesize(text, sid, key, decode_steps=4)  # recompile
+    assert small.stages(4) is not first
+    np.testing.assert_array_equal(wav_a, wav_b)
+
+
+def test_server_int8_with_tp_mesh(served):
+    """int8 weight streaming COMPOSED with a TP2 mesh — the configuration
+    the ICI-economics hypothesis (serve.py `qweights` note) is about. This
+    gates correctness of the composition only; whether int8 actually wins
+    over ICI-sharded weights is unmeasured on real multi-chip hardware
+    (docs/PERFORMANCE.md)."""
+    from semi_tts_tpu.parallel.mesh import make_mesh
+
+    server, cfg, phn_attr, params, state = served
+    q1 = TTSServer(cfg, server.featurizer, phn_attr, params, state,
+                   int8_weights=True)
+    mesh = make_mesh(4, model_parallel=2)
+    qm = TTSServer(cfg, server.featurizer, phn_attr, params, state,
+                   mesh=mesh, int8_weights=True)
+    text, sid = _requests()
+    steps = server.decode_steps_for(text)
+    k1, _ = jax.random.split(jax.random.PRNGKey(19))
+    synth1, _ = q1.stages(steps)
+    synthm, _ = qm.stages(steps)
+    a = np.asarray(synth1(q1.params, q1.state,
+                          jnp.asarray(text), jnp.asarray(sid), k1))
+    tt, ss = qm._place(text, sid)
+    b = np.asarray(synthm(qm.params, qm.state, tt, ss, k1))
+    assert np.isfinite(b).all()
+    # same math, different placement: mesh reductions reorder float sums
+    np.testing.assert_allclose(b, a, rtol=5e-3, atol=1e-4)
+
+
 def test_server_int8_weights_quality(served):
     """The int8 weight-streaming serving path (off by default; see
     docs/PERFORMANCE.md for why) stays within quantization tolerance."""
