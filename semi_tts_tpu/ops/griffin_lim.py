@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from .features import GFL_ITER, inv_preemphasis
-from .stft import istft_reim, stft_reim
+from .stft import (_dft_basis_ingraph, _inv_basis_ingraph, istft_reim,
+                   stft_reim, window_support)
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "n_iter",
@@ -59,17 +60,24 @@ def griffin_lim(
     magnitude = jnp.abs(magnitude)
     phases = jax.random.uniform(rng, magnitude.shape, minval=-jnp.pi, maxval=jnp.pi)
     kw = dict(n_fft=n_fft, hop=hop, win_length=win_length)
+    # generate the DFT bases ONCE, outside the projection loop; the
+    # optimization_barrier forces them to MATERIALIZE there — without it XLA
+    # fuses the iota+cos chains into the loop-body consumers and re-evaluates
+    # them every round (measured +0.9 ms/round, 1.75x on the whole vocoder)
+    fwd = _dft_basis_ingraph(n_fft, win_length, window_support(n_fft, win_length))
+    inv = _inv_basis_ingraph(n_fft, win_length)
+    fwd, inv = jax.lax.optimization_barrier((fwd, inv))
 
     def body(x, prec):
-        re, im = stft_reim(x, precision=prec, **kw)
+        re, im = stft_reim(x, precision=prec, basis=fwd, **kw)
         r = jnp.sqrt(re * re + im * im)
         scale = magnitude / jnp.where(r > 0, r, 1.0)
         y_re = jnp.where(r > 0, re * scale, magnitude)
         y_im = jnp.where(r > 0, im * scale, 0.0)
-        return istft_reim(y_re, y_im, precision=prec, **kw)
+        return istft_reim(y_re, y_im, precision=prec, basis=inv, **kw)
 
     x = istft_reim(magnitude * jnp.cos(phases), magnitude * jnp.sin(phases),
-                   precision=refine_precision, **kw)
+                   precision=refine_precision, basis=inv, **kw)
     if n_iter <= 0:  # 0 projections = the raw random-phase ISTFT
         return x
     x = jax.lax.fori_loop(0, n_iter - 1, lambda _, x: body(x, refine_precision), x)

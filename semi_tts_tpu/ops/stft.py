@@ -168,13 +168,54 @@ def _dft_matrices(n_fft: int):
     magnitude spectrum as two (n_fft x F) matmuls is ~3-4x faster and keeps
     the whole featurizer on the systolic array. fp32 (HIGHEST) keeps the
     result within ~1e-5 relative of a true FFT.
+
+    numpy/f64 form — kept as the golden builder for tests and measurement
+    tools; the compiled paths use `_dft_basis_ingraph` (identical to ~4e-7).
     """
     n = np.arange(n_fft, dtype=np.float64)[:, None]
     k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
     ang = 2.0 * np.pi * n * k / n_fft
-    # numpy (not jnp) so the cache never captures tracers; XLA treats these
-    # as embedded constants.
     return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def _dft_basis_ingraph(n_fft: int, fold_window: int | None,
+                       support: tuple | None):
+    """(cos, -sin) windowed-DFT projection matrices, GENERATED IN-GRAPH.
+
+    Materializing the 8-17 MB basis tables as numpy closures embeds them as
+    HLO literals: every featurizer/Griffin-Lim executable carries 20-100 MB
+    of constants, XLA passes chew on them (measured 3.5x slower compiles),
+    and persistent-cache hits must push those megabytes through the remote
+    TPU tunnel (~1.2 MB/s — a 97 MB entry loads SLOWER than it recompiles).
+    Generating the basis from ``iota`` costs ~2M transcendentals (~us on the
+    VPU, fused) and shrinks executables to the size of the actual program.
+
+    Exactness: the phase is reduced with INTEGER arithmetic first —
+    ``2*pi * ((n*k) mod n_fft) / n_fft`` with n*k < 2^31 exact in int32 — so
+    cos/sin see arguments in [0, 2*pi) and match the float64-then-cast
+    tables to ~4e-7 (vs the ~1e-4 error of naively evaluating cos at
+    unreduced phases up to ~1e4 radians in fp32).
+
+    ``fold_window``: fold a centered periodic Hann of this length into the
+    rows (frames then arrive unwindowed). ``support``: (offset, span) row
+    slice of the nominal n_fft frame. Mirrors `_support_dft_matrices`.
+    """
+    off, span = support if support is not None else (0, n_fft)
+    F = n_fft // 2 + 1
+    n = off + jax.lax.iota(jnp.int32, span)
+    k = jax.lax.iota(jnp.int32, F)[None, :]
+    phase = (n[:, None] * k) % n_fft  # exact: n < 2048, k <= 1024
+    ang = (2.0 * jnp.pi / n_fft) * phase.astype(jnp.float32)
+    C, S = jnp.cos(ang), -jnp.sin(ang)
+    if fold_window is not None:
+        left = (n_fft - fold_window) // 2
+        kw = n - left
+        inside = (kw >= 0) & (kw < fold_window)
+        w = 0.5 - 0.5 * jnp.cos((2.0 * jnp.pi / fold_window)
+                                * kw.astype(jnp.float32))
+        w = jnp.where(inside, w, 0.0)[:, None]
+        C, S = w * C, w * S
+    return C, S
 
 
 def _centered_hann_np(n_fft: int, win_length: int) -> np.ndarray:
@@ -240,12 +281,8 @@ def magnitude_dft(frames: jnp.ndarray, n_fft: int,
     fidelity-critical clean path; HIGH (bf16x3, ~0.04 dB max error) is fine
     for the augmentation path whose output is noise-dominated by design.
     """
-    if support is not None:
-        C, S = _support_dft_matrices(n_fft, fold_window, tuple(support))
-    elif fold_window is not None:
-        C, S = _windowed_dft_matrices(n_fft, fold_window)
-    else:
-        C, S = _dft_matrices(n_fft)
+    C, S = _dft_basis_ingraph(n_fft, fold_window,
+                              tuple(support) if support is not None else None)
     if time_major:
         assert frames.shape[-2] == C.shape[0], (frames.shape, C.shape)
         re = jnp.einsum("...nb,nf->...bf", frames, C, precision=precision)
@@ -320,13 +357,31 @@ def _inv_dft_window_matrices(n_fft: int, win_length: int):
     return A, B
 
 
+def _inv_basis_ingraph(n_fft: int, win_length: int):
+    """Windowed inverse-rDFT matrices (F, span), generated in-graph: the
+    transposed windowed forward basis scaled by c_k/n_fft (c = 2 except the
+    DC and Nyquist rows; both scales are exact powers of two at n_fft=2048).
+    In-graph counterpart of `_inv_dft_window_matrices`."""
+    off, span = window_support(n_fft, win_length)
+    F = n_fft // 2 + 1
+    Cw, Sw = _dft_basis_ingraph(n_fft, win_length, (off, span))
+    k = jax.lax.iota(jnp.int32, F)
+    c = jnp.where((k == 0) | (k == F - 1), 1.0, 2.0)[:, None] / n_fft
+    return c * Cw.T, c * Sw.T
+
+
 def stft_reim(x: jnp.ndarray, *, n_fft: int, hop: int, win_length: int,
-              precision=jax.lax.Precision.HIGHEST):
+              precision=jax.lax.Precision.HIGHEST, basis: tuple | None = None):
     """Complex STFT of ``(..., S)`` as a (re, im) pair of real arrays — the
     matmul fast path of `stft_complex` (identical math; frames come from
     contiguous ``dynamic_slice``s over the window support and the windowed
     DFT runs as two MXU matmuls instead of ``jnp.fft.rfft`` over a whole-
-    frame element gather). Static geometry only."""
+    frame element gather). Static geometry only.
+
+    ``basis``: optional precomputed `_dft_basis_ingraph(n_fft, win_length,
+    support)` pair — pass it when calling from inside a loop (Griffin-Lim)
+    so the basis is generated once per program, not once per round
+    (~0.9 ms/round at the 2048/1102 geometry)."""
     pad = n_fft // 2
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     S = x.shape[-1]
@@ -336,21 +391,25 @@ def stft_reim(x: jnp.ndarray, *, n_fft: int, hop: int, win_length: int,
     frames = frame_signal(xp.reshape((-1, xp.shape[-1])), n_fft, hop, num_frames,
                           support=sup)
     frames = frames.reshape(lead + frames.shape[1:])
-    C, Sm = _support_dft_matrices(n_fft, win_length, sup)
+    C, Sm = basis if basis is not None else _dft_basis_ingraph(n_fft, win_length, sup)
     re = jnp.einsum("...n,nf->...f", frames, C, precision=precision)
     im = jnp.einsum("...n,nf->...f", frames, Sm, precision=precision)
     return re, im
 
 
 def istft_reim(re: jnp.ndarray, im: jnp.ndarray, *, n_fft: int, hop: int,
-               win_length: int, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+               win_length: int, precision=jax.lax.Precision.HIGHEST,
+               basis: tuple | None = None) -> jnp.ndarray:
     """Inverse STFT of a (re, im) spectrum pair ``(..., T, F)`` — the matmul
     fast path of `istft` (same windowed overlap-add semantics; irfft+window
     is two MXU matmuls over the window support, OLA is shifted-slice adds).
-    Static geometry, ``length=None`` trim only."""
+    Static geometry, ``length=None`` trim only.
+
+    ``basis``: optional precomputed `_inv_basis_ingraph(n_fft, win_length)`
+    pair — see `stft_reim`."""
     T = re.shape[-2]
     off, span = window_support(n_fft, win_length)
-    A, Bm = _inv_dft_window_matrices(n_fft, win_length)
+    A, Bm = basis if basis is not None else _inv_basis_ingraph(n_fft, win_length)
     frames = (jnp.einsum("...f,fn->...n", re, A, precision=precision)
               + jnp.einsum("...f,fn->...n", im, Bm, precision=precision))
 

@@ -139,7 +139,9 @@ class BaseSolver:
             except ImportError:
                 return
             signal, sr = log_value
-            self.log.add_audio(log_name, np.asarray(signal, np.float32)[None, :], self.step, sr)
+            # tensorboardX expects (frames,) or (frames, channels<=2)
+            self.log.add_audio(log_name, np.asarray(signal, np.float32).reshape(-1, 1),
+                               self.step, sr)
         elif "text" in log_name or "hyp" in log_name:
             self.log.add_text(log_name, log_value, self.step)
         else:

@@ -71,3 +71,22 @@ def test_graft_shape_mismatch_raises(tmp_path):
     fresh["codebook"]["learnable_table"] = jnp.zeros((5, 3))
     with pytest.raises(ValueError):
         C.apply_pretrained(fresh, {"codebook": str(path)})
+
+
+def test_write_log_audio_shape(monkeypatch):
+    """TB audio tensors must be (frames, channels<=2) — a (1, T) row vector
+    crashes tensorboardX's summary builder at the first validation of any
+    run with soundfile installed (`src/solver.py:178-202` routing)."""
+    import sys
+    import types
+
+    from semi_tts_tpu.train.solver import BaseSolver
+
+    monkeypatch.setitem(sys.modules, "soundfile", types.ModuleType("soundfile"))
+    calls = {}
+    fake_log = types.SimpleNamespace(
+        add_audio=lambda name, t, step, sr: calls.update(t=t, sr=sr))
+    self = types.SimpleNamespace(log=fake_log, step=7)
+    BaseSolver.write_log(self, "dev_wave0", (np.zeros(100, np.float32), 22050))
+    assert calls["t"].shape == (100, 1)
+    assert calls["sr"] == 22050

@@ -160,3 +160,27 @@ def test_frame_signal_static_matches_dynamic():
         want = frame_signal(x, span + off, jnp.asarray(hop), T, support=(off, span))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                       err_msg=str((S, hop, off, span, T)))
+
+
+def test_ingraph_basis_matches_float64_tables():
+    """The in-graph DFT bases (integer-exact phase reduction, generated from
+    iota so executables carry no multi-MB literals — docs/PERFORMANCE.md r4)
+    must match the float64-computed numpy tables to fp32 rounding."""
+    n_fft, win = 2048, 1102
+    sup = S.window_support(n_fft, win)
+
+    # plain, windowed+support, and inverse forms
+    C0, S0 = S._dft_matrices(n_fft)
+    C1, S1 = jax.jit(lambda: S._dft_basis_ingraph(n_fft, None, None))()
+    assert float(jnp.abs(C1 - C0).max()) < 1e-6
+    assert float(jnp.abs(S1 - S0).max()) < 1e-6
+
+    Cw0, Sw0 = S._support_dft_matrices(n_fft, win, sup)
+    Cw1, Sw1 = jax.jit(lambda: S._dft_basis_ingraph(n_fft, win, sup))()
+    assert float(jnp.abs(Cw1 - Cw0).max()) < 1e-6
+    assert float(jnp.abs(Sw1 - Sw0).max()) < 1e-6
+
+    A0, B0 = S._inv_dft_window_matrices(n_fft, win)
+    A1, B1 = jax.jit(lambda: S._inv_basis_ingraph(n_fft, win))()
+    assert float(jnp.abs(A1 - A0).max()) < 1e-9  # rows carry a 1/n_fft scale
+    assert float(jnp.abs(B1 - B0).max()) < 1e-9

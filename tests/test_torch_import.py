@@ -34,13 +34,20 @@ def _build_reference_pair(prenet_dropout=None):
     import torch  # noqa: F401  (reference needs it importable)
 
     sys.path.insert(0, REF)
-    # the reference's util module imports optional deps we don't ship
-    for m in ("editdistance", "soundfile"):
-        sys.modules.setdefault(m, types.ModuleType(m))
+    # the reference's util module imports optional deps we don't ship.
+    # Remove the stubs afterwards (only those WE added): leaking an empty
+    # `soundfile` into sys.modules flips optional-dependency gates elsewhere
+    # (solver.write_log skips audio logging when soundfile is absent) for
+    # every later test in the process.
+    stubbed = [m for m in ("editdistance", "soundfile") if m not in sys.modules]
+    for m in stubbed:
+        sys.modules[m] = types.ModuleType(m)
     try:
         from src.vqvae import VQVAE
     finally:
         sys.path.remove(REF)
+        for m in stubbed:
+            sys.modules.pop(m, None)
 
     import yaml
 
