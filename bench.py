@@ -22,12 +22,14 @@ Partial honest JSON always beats a timeout: skipped stages are listed under
 "stages_skipped".
 
 Timing methodology (axon tunnel): N iterations chained inside ONE jitted
-fori_loop, a single scalar float() readback (block_until_ready does not
-reliably flush the remote queue). The readback itself costs ~10 ms of
-tunnel latency, so N must be large enough to amortize it (profiler-checked:
-at N=3 the AR-decoder figure under-reported device throughput ~2x).
-Every timing — device chains AND the CPU baseline — is best-of-3, so a
-contended run on either side cannot skew the vs_baseline ratio. MFU =
+fori_loop with a TRACED trip count and a single scalar float() readback
+(block_until_ready does not reliably flush the remote queue), timed
+DIFFERENTIALLY at N and 4N — the per-call dispatch+readback overhead
+(10 ms on a good hour, 100-300 ms during tunnel troughs; at a fixed N=20
+it inflated the featurizer 24.3 -> 32.9 ms/batch) is identical at both
+trip counts and cancels in the subtraction. Both sides of every
+measurement are best-of-3, so a contended run on either side cannot skew
+the vs_baseline ratio. MFU =
 analytic dot/conv FLOPs (`utils.flops.matmul_flops`, scan-aware — XLA's own
 cost_analysis counts loop bodies once) / time / bf16 peak. These are
 *useful* FLOPs: dots at HIGH (bf16x3) precision execute 3 hardware passes
@@ -122,6 +124,27 @@ def _best_of(fn, n=3):
     return best
 
 
+def _differential_time(chained, n_lo, n_hi):
+    """Per-iteration device time of a chained program whose trip count is a
+    TRACED argument: time the same executable at ``n_lo`` and ``n_hi``
+    iterations (best-of-3 each, interleaved) and divide the difference.
+
+    The per-call dispatch+readback overhead over the axon tunnel is
+    100-300 ms during bandwidth troughs (measured r4: the same featurizer
+    program read 24.3 vs 32.9 ms/iter depending on the hour at a fixed
+    iteration count) — it is identical for both trip counts, so the
+    subtraction cancels it exactly instead of merely amortizing it."""
+    lo = hi = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chained(n_lo)
+        lo = min(lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        chained(n_hi)
+        hi = min(hi, time.perf_counter() - t0)
+    return (hi - lo) / (n_hi - n_lo)
+
+
 # ---------------------------------------------------------------------------
 # Shared lazily-built context (full-size model, step builder, batches) so the
 # per-stage functions don't rebuild it.
@@ -161,10 +184,6 @@ def _train_builder():
 
 
 def _stage_feat_tpu(iters=40):
-    # iters amortize the per-call tunnel overhead: during bandwidth/latency
-    # troughs a chained call pays ~100-200 ms of dispatch+readback latency
-    # (measured r4: the same program read 24.3 vs 32.9 ms/batch at iters=20
-    # depending on the hour) — at 40 iterations the worst case is +5 ms/batch.
     import jax
     import jax.numpy as jnp
 
@@ -184,17 +203,17 @@ def _stage_feat_tpu(iters=40):
         jax.random.PRNGKey(7))
     ld = jnp.asarray(lengths)
 
-    # Chain the iterations inside ONE program with a single scalar readback:
-    # immune to host dispatch / TPU-tunnel round-trip latency, measures pure
-    # device compute.
+    # Chain the iterations inside ONE program with a single scalar readback;
+    # the trip count is a TRACED argument so `_differential_time` can cancel
+    # the tunnel's per-call overhead with one compiled executable.
     @jax.jit
-    def chained(w, l, key):
+    def chained(w, l, key, n):
         def body(i, carry):
             s, k = carry
             m, lin, fl = feat.featurize(w + i * 1e-6, l)
             a, al = feat.featurize_augmented(w + i * 1e-6, l, jax.random.fold_in(k, i))
             return (s + m[0, 0, 0] + lin[0, 0, 0] + a[0, 0, 0], k)
-        s, _ = jax.lax.fori_loop(0, iters, body, (0.0, key))
+        s, _ = jax.lax.fori_loop(0, n, body, (0.0, key))
         return s
 
     # Frame counts in a SEPARATE tiny program: only the frame-length outputs
@@ -208,8 +227,9 @@ def _stage_feat_tpu(iters=40):
         return fl.sum() + al.sum()
 
     key = jax.random.PRNGKey(0)
-    float(chained(wd, ld, key))  # compile + warm
-    dt = _best_of(lambda: float(chained(wd, ld, key))) / iters
+    float(chained(wd, ld, key, jnp.int32(iters)))  # compile + warm
+    dt = _differential_time(
+        lambda n: float(chained(wd, ld, key, jnp.int32(n))), iters, 4 * iters)
     flops = matmul_flops(
         lambda w, l, k: (feat.featurize(w, l), feat.featurize_augmented(w, l, k)),
         wd, ld, key)
@@ -320,21 +340,24 @@ def _stage_decoder(B, with_mfu, iters=48, decode_steps=200):
     serving batch; B=64 is the headline (with MFU), B=256/512 are the
     serving-farm figures."""
     import jax
+    import jax.numpy as jnp
 
     c = _ctx()
     params, state, cfg = c["params"], c["state"], c["cfg"]
     infer, text, sid = _decoder_infer(B, decode_steps)
 
     @jax.jit
-    def chained(params, state, text, sid, key):
+    def chained(params, state, text, sid, key, n):
         def body(i, s):
             mel = infer(params, state, text, sid, jax.random.fold_in(key, i))
             return s + mel[0, 0, 0]
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+        return jax.lax.fori_loop(0, n, body, 0.0)
 
     key = jax.random.PRNGKey(0)
-    float(chained(params, state, text, sid, key))  # compile + warm
-    dt = _best_of(lambda: float(chained(params, state, text, sid, key))) / iters
+    float(chained(params, state, text, sid, key, jnp.int32(iters)))  # compile + warm
+    dt = _differential_time(
+        lambda n: float(chained(params, state, text, sid, key, jnp.int32(n))),
+        iters, 4 * iters)
     rate = (B * decode_steps * cfg.n_frames_per_step) / dt
     suffix = "" if B == 64 else "_b%d" % B
     _merge(**{"ar_decoder_mel_frames_per_sec_per_chip" + suffix: round(rate, 1)})
@@ -373,6 +396,7 @@ def _stage_train(variant, B=8, with_mfu=False, iters=24):
     counterpart of the reference's only perf instrument, the ``sec/step``
     line (`src/util.py:35-43`)."""
     import jax
+    import jax.numpy as jnp
 
     c = _ctx()
     builder, opt_state = _train_builder()
@@ -386,17 +410,18 @@ def _stage_train(variant, B=8, with_mfu=False, iters=24):
     key = jax.random.PRNGKey(0)
 
     @jax.jit
-    def chained(params, state, opt_state, key, *args):
+    def chained(params, state, opt_state, key, n, *args):
         def body(i, cy):
             p, s, o = cy
             p, s, o, _ = step(p, s, o, key, i, 0.9, *args)
             return (p, s, o)
-        p, s, o = jax.lax.fori_loop(0, iters, body, (params, state, opt_state))
+        p, s, o = jax.lax.fori_loop(0, n, body, (params, state, opt_state))
         return jax.tree_util.tree_leaves(p)[0].reshape(-1)[0]
 
-    float(chained(params, state, opt_state, key, *args))  # compile + warm
-    dt = _best_of(
-        lambda: float(chained(params, state, opt_state, key, *args))) / iters
+    float(chained(params, state, opt_state, key, jnp.int32(iters), *args))
+    dt = _differential_time(
+        lambda n: float(chained(params, state, opt_state, key, jnp.int32(n), *args)),
+        iters, 4 * iters)
     suffix = "" if B == 8 else "_b%d" % B
     _merge(**{"train_step_ms_%s%s" % (variant, suffix): round(dt * 1e3, 1)})
     if B != 8:
@@ -431,15 +456,16 @@ def _stage_griffin_lim(iters=32):
     key = jax.random.PRNGKey(0)
 
     @jax.jit
-    def chained(amp, key):
+    def chained(amp, key, n):
         def body(i, s):
             w = griffin_lim(amp + i * 1e-9, jax.random.fold_in(key, i),
                             n_fft=c.n_fft, hop=c.hop_length, win_length=c.win_length)
             return s + w[0, 0]
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+        return jax.lax.fori_loop(0, n, body, 0.0)
 
-    float(chained(amp, key))  # compile + warm
-    dt = _best_of(lambda: float(chained(amp, key))) / iters
+    float(chained(amp, key, jnp.int32(iters)))  # compile + warm
+    dt = _differential_time(
+        lambda n: float(chained(amp, key, jnp.int32(n))), iters, 4 * iters)
     _merge(griffin_lim_utt_per_sec=round(B / dt, 1),
            griffin_lim_batch_ms=round(dt * 1e3, 1))
 
@@ -477,17 +503,17 @@ def _stage_tts_e2e(B, iters=8, decode_steps=200):
     text, sid = c["g"]._serving_inputs(B)
     # Pre-materialize per-iteration keys OUTSIDE the timed region so the
     # timed loop issues nothing but the two stage dispatches.
-    keys = [k for k in jax.random.split(jax.random.PRNGKey(0), 2 * iters)]
+    keys = [k for k in jax.random.split(jax.random.PRNGKey(0), 8 * iters)]
 
-    def run():
+    def run(n):
         last = None
-        for i in range(iters):
+        for i in range(n):
             amp = synth(params, state, text, sid, keys[2 * i])
             last = vocode(amp, keys[2 * i + 1])
         return float(last[0, 0])  # single scalar readback flushes the queue
 
-    run()  # compile + warm both stages
-    dt = _best_of(run) / iters
+    run(iters)  # compile + warm both stages
+    dt = _differential_time(run, iters, 4 * iters)
     suffix = "" if B == 16 else "_b%d" % B
     _merge(**{"tts_e2e_utt_per_sec" + suffix: round(B / dt, 1),
               "tts_e2e_realtime_factor" + suffix: round(B * audio_sec / dt, 1)})

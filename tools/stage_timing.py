@@ -65,6 +65,14 @@ def consume(tree):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8,
+                    help="paired batch size (unpaired matches; the packed "
+                         "ASR/TTS batch is 2x this)")
+    args = ap.parse_args()
+
     cfg, feat, phn_attr, params, state = g._build("full")
     tx, _ = make_optimizer("Adam", 1e-3, "decay")
     builder = StepBuilder(cfg, feat, phn_attr, tx,
@@ -72,7 +80,7 @@ def main():
                           freq_loss_kwargs=dict(sample_rate=22050, n_mels=80,
                                                 loss="mse", differential_loss=True,
                                                 emphasize_linear_low=True))
-    B = 8
+    B = args.batch
     waves, wave_len, text, sid = map(jnp.asarray, g._example_batch(B, 6.0, U=32, seed=0))
     u_waves, u_wave_len, u_text, u_sid = map(jnp.asarray, g._example_batch(B, 6.0, U=32, seed=1))
     key = jax.random.PRNGKey(0)
