@@ -23,6 +23,23 @@ import numpy as np
 GAINS = {"linear": 1.0, "relu": math.sqrt(2.0), "tanh": 5.0 / 3.0, "sigmoid": 1.0}
 
 
+def follow_act_dtype(w, x):
+    """Weight cast that makes layers activation-dtype-polymorphic.
+
+    Params are stored fp32; when the caller feeds reduced-precision float
+    activations (the decoder's ``memory.dtype`` convention — bf16 decode
+    scan), the weight is cast in-graph to the activation dtype so compute
+    and outputs STAY in that dtype instead of being silently promoted back
+    to fp32 by jnp type promotion (dots) or rejected by lax.conv (which
+    requires equal dtypes). XLA hoists the cast out of scans, so bf16
+    callers stream bf16 weights. fp32-in/fp32-params paths are unchanged.
+    """
+    if (x.dtype != w.dtype and jnp.issubdtype(x.dtype, jnp.floating)
+            and jnp.issubdtype(w.dtype, jnp.floating)):
+        return w.astype(x.dtype)
+    return w
+
+
 # ---------------- Linear ----------------
 
 def linear_init(key, in_dim, out_dim, *, bias=True, w_init_gain="linear"):
@@ -48,9 +65,9 @@ def torch_linear_init(key, in_dim, out_dim, *, bias=True):
 
 
 def linear(params, x):
-    y = x @ params["w"].T
+    y = x @ follow_act_dtype(params["w"], x).T
     if "b" in params:
-        y = y + params["b"]
+        y = y + follow_act_dtype(params["b"], x)
     return y
 
 
@@ -79,14 +96,14 @@ def conv1d(params, x, *, stride=1, padding=None, dilation=1):
         padding = (dilation * (k - 1)) // 2
     y = jax.lax.conv_general_dilated(
         x,
-        jnp.transpose(params["w"], (2, 1, 0)),  # (k, in, out)
+        jnp.transpose(follow_act_dtype(params["w"], x), (2, 1, 0)),  # (k, in, out)
         window_strides=(stride,),
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NTC", "TIO", "NTC"),
     )
     if "b" in params:
-        y = y + params["b"]
+        y = y + follow_act_dtype(params["b"], x)
     return y
 
 
@@ -101,12 +118,17 @@ def batchnorm_init(num_features, eps=1e-5, momentum=0.1):
 
 def batchnorm(params, state, x, *, train: bool):
     """torch BatchNorm1d semantics on (B, T, C) (stats over B and T; biased
-    variance for normalization, unbiased for the running update)."""
+    variance for normalization, unbiased for the running update).
+
+    Mixed precision: statistics and the running-state update always run in
+    fp32 (bf16 variance is catastrophically imprecise); the normalize itself
+    follows the activation dtype, so bf16 callers get bf16 out."""
     eps, momentum = state["eps"], state["momentum"]
+    xs = x.astype(jnp.float32)
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        mean = jnp.mean(xs, axis=axes)
+        var = jnp.var(xs, axis=axes)
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         new_state = dict(state)
@@ -115,7 +137,8 @@ def batchnorm(params, state, x, *, train: bool):
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    y = (x - mean) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+    y = ((x - mean.astype(x.dtype)) * jax.lax.rsqrt(var + eps).astype(x.dtype)
+         * follow_act_dtype(params["scale"], x) + follow_act_dtype(params["bias"], x))
     return y, new_state
 
 

@@ -184,6 +184,9 @@ def decoder_apply(
     B, L, _ = memory.shape
     r, M = cfg.n_frames_per_step, cfg.n_mels
     mode = cfg.spkr_embed_mode.lower()
+    # everything entering the decode scan follows memory's dtype (fp32
+    # train default; bf16 opt-in — see tools/proto_bf16_act.py)
+    spkr_embed = spkr_embed.astype(memory.dtype)
 
     # --- step-invariant precomputation (hoisted out of the reference's loop) ---
     if mode == "concat":
@@ -203,19 +206,19 @@ def decoder_apply(
         ada_std = jax.nn.relu(linear(params["pseudo_std"], spkr_embed))  # (B, Q)
 
     rng, k_teacher, k_go, k_scan = jax.random.split(rng, 4)
+    dt = memory.dtype  # follow the activation dtype (fp32 train, bf16 opt-in)
     use_teacher = teacher is not None
     if use_teacher:
+        teacher = teacher.astype(dt)  # keep the scan carry in one dtype
         T_t = teacher.shape[1] // r
         teacher_pre = prenet(params["prenet"], k_teacher,
                              teacher.reshape(B, T_t, r * M), cfg.prenet_dropout)  # (B, T_t, P)
         teacher_mean = jnp.mean(teacher_pre, axis=1)
         if teacher_rows is None:
             teacher_rows = jnp.ones((B,), bool)
-        t_rows = teacher_rows[:, None].astype(jnp.float32)
+        t_rows = teacher_rows[:, None].astype(dt)
 
-    dec_in0 = prenet(params["prenet"], k_go, jnp.zeros((B, r * M)), cfg.prenet_dropout)
-
-    dt = memory.dtype  # follow param/activation dtype (fp32 train, bf16 serving)
+    dec_in0 = prenet(params["prenet"], k_go, jnp.zeros((B, r * M), dt), cfg.prenet_dropout)
     carry0 = dict(
         rng=k_scan,
         q_h=jnp.zeros((B, cfg.query_rnn_dim), dt), q_c=jnp.zeros((B, cfg.query_rnn_dim), dt),

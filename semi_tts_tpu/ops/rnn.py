@@ -46,11 +46,15 @@ def lstm_cell(params, x, h, c, *, probe=None, stop_w=False):
     dW outside the scan as one batched einsum instead of autodiff's
     per-step (4H x D) accumulator carried through the loop.
     """
+    from ..models.common import follow_act_dtype
+
     w_ih, w_hh = params["w_ih"], params["w_hh"]
     if stop_w:
         w_ih = jax.lax.stop_gradient(w_ih)
         w_hh = jax.lax.stop_gradient(w_hh)
-    gates = x @ w_ih.T + params["b_ih"] + h @ w_hh.T + params["b_hh"]
+    w_ih, w_hh = follow_act_dtype(w_ih, x), follow_act_dtype(w_hh, x)
+    gates = (x @ w_ih.T + follow_act_dtype(params["b_ih"], x)
+             + h.astype(x.dtype) @ w_hh.T + follow_act_dtype(params["b_hh"], x))
     if probe is not None:
         gates = gates + probe
     i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -150,9 +154,14 @@ def _lstm_scan(params, xs, reverse=False):
     The x@W_ih projection for all T steps is one matmul outside the scan
     (so its dW is one matmul in the backward too); the recurrence runs in
     `_lstm_rec`, whose custom VJP keeps the w_hh gradient out of the scan
-    carry."""
-    x_proj = xs @ params["w_ih"].T + (params["b_ih"] + params["b_hh"])  # (B, T, 4H)
-    hs = _lstm_rec(reverse, params["w_hh"], jnp.swapaxes(x_proj, 0, 1))
+    carry. Weights follow the activation dtype (`common.follow_act_dtype`)
+    so bf16 inputs keep the whole recurrence in bf16."""
+    from ..models.common import follow_act_dtype
+
+    x_proj = (xs @ follow_act_dtype(params["w_ih"], xs).T
+              + follow_act_dtype(params["b_ih"] + params["b_hh"], xs))  # (B, T, 4H)
+    hs = _lstm_rec(reverse, follow_act_dtype(params["w_hh"], xs),
+                   jnp.swapaxes(x_proj, 0, 1))
     return jnp.swapaxes(hs, 0, 1)
 
 
@@ -270,9 +279,15 @@ _gru_rec.defvjp(_gru_rec_fwd, _gru_rec_bwd)
 
 
 def _gru_scan(params, xs, reverse=False):
-    """One GRU direction over (B, T, D) -> (B, T, H), torch gate math."""
-    x_proj = xs @ params["w_ih"].T + params["b_ih"]  # (B, T, 3H)
-    hs = _gru_rec(reverse, params["w_hh"], params["b_hh"], jnp.swapaxes(x_proj, 0, 1))
+    """One GRU direction over (B, T, D) -> (B, T, H), torch gate math.
+    Weights follow the activation dtype (see `_lstm_scan`)."""
+    from ..models.common import follow_act_dtype
+
+    x_proj = (xs @ follow_act_dtype(params["w_ih"], xs).T
+              + follow_act_dtype(params["b_ih"], xs))  # (B, T, 3H)
+    hs = _gru_rec(reverse, follow_act_dtype(params["w_hh"], xs),
+                  follow_act_dtype(params["b_hh"], xs),
+                  jnp.swapaxes(x_proj, 0, 1))
     return jnp.swapaxes(hs, 0, 1)
 
 

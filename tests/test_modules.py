@@ -130,3 +130,68 @@ def test_decoder_batched_wgrad_path_matches_autodiff():
                                np.asarray(g_plain["proj"]["w"]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(grads["attn"]["query_layer"]["w"]),
                                np.asarray(g_plain["attn"]["query_layer"]["w"]), atol=1e-6)
+
+
+def test_layers_follow_activation_dtype():
+    """fp32 params + bf16 activations => bf16 compute/outputs (the decode
+    scan's reduced-precision convention, `common.follow_act_dtype`); fp32
+    activations stay the exact fp32 path."""
+    from semi_tts_tpu.ops import rnn
+
+    key = jax.random.PRNGKey(0)
+    lp = C.linear_init(key, 16, 8)
+    cp = C.conv1d_init(key, 6, 7, 5)
+    rp = rnn.lstm_init(key, 16, 12)
+    x = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    xc = np.random.RandomState(1).randn(2, 20, 6).astype(np.float32)
+    h = np.zeros((3, 12), np.float32)
+
+    for f, args, want32 in [
+        (C.linear, (lp, jnp.asarray(x)), C.linear(lp, jnp.asarray(x))),
+        (C.conv1d, (cp, jnp.asarray(xc)), C.conv1d(cp, jnp.asarray(xc))),
+    ]:
+        lo = f(args[0], args[1].astype(jnp.bfloat16))
+        assert lo.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(lo, np.float32),
+                                   np.asarray(want32), atol=0.05)
+        assert f(*args).dtype == jnp.float32  # fp32 path untouched
+
+    h32, c32 = rnn.lstm_cell(rp, jnp.asarray(x), jnp.asarray(h), jnp.asarray(h))
+    hb, cb = rnn.lstm_cell(rp, jnp.asarray(x).astype(jnp.bfloat16),
+                           jnp.asarray(h).astype(jnp.bfloat16),
+                           jnp.asarray(h).astype(jnp.bfloat16))
+    assert hb.dtype == cb.dtype == jnp.bfloat16
+    assert h32.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(hb, np.float32), np.asarray(h32),
+                               atol=0.02)
+
+
+def test_decoder_follows_memory_dtype():
+    """decoder_apply run with bf16 memory/speaker/teacher yields bf16 mel
+    close to the fp32 run — the bf16 serving/probe path traces and stays
+    in reduced precision end-to-end (tools/proto_bf16_act.py's lever)."""
+    from semi_tts_tpu.models.decoder import (DecoderConfig, decoder_apply,
+                                             decoder_init)
+
+    cfg = DecoderConfig(n_mels=12, n_frames_per_step=3, enc_embed_dim=32,
+                        spkr_embed_dim=8, prenet_dim=16, query_rnn_dim=24,
+                        dec_rnn_dim=24, attn_dim=16, n_location_filters=4,
+                        location_kernel_size=7)
+    params = decoder_init(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 4
+    mem = jax.random.normal(jax.random.PRNGKey(1), (B, 7, 32)) * 0.3
+    spk = jax.random.normal(jax.random.PRNGKey(2), (B, 8)) * 0.3
+    teacher = jax.random.normal(jax.random.PRNGKey(3), (B, T * 3, 12)) * 0.1
+    rng = jax.random.PRNGKey(7)
+
+    mel32, _, _ = decoder_apply(params, rng, mem, spk, cfg=cfg, decode_steps=T,
+                                train=True, teacher=teacher, tf_rate=1.0)
+    mel16, _, _ = decoder_apply(params, rng, mem.astype(jnp.bfloat16),
+                                spk.astype(jnp.bfloat16), cfg=cfg,
+                                decode_steps=T, train=True,
+                                teacher=teacher.astype(jnp.bfloat16),
+                                tf_rate=1.0)
+    assert mel16.dtype == jnp.bfloat16
+    assert mel32.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(mel16, np.float32),
+                               np.asarray(mel32), atol=0.05)

@@ -186,6 +186,19 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    # Persistent compile cache: the three step variants + validation programs
+    # are identical across seeds and arms (shapes don't depend on the seed),
+    # so everything after the first run warm-starts — the remote compile
+    # service is erratically queued (CLAUDE.md) and would otherwise cost
+    # tens of minutes per run.
+    import getpass
+    import tempfile as _tf
+
+    from semi_tts_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(os.environ.get("SEMI_TTS_COMPILE_CACHE") or os.path.join(
+        _tf.gettempdir(), "semi_tts_xla_cache_%s" % getpass.getuser()))
+
     import numpy as np  # noqa: F401
 
     root_a = tempfile.mkdtemp(prefix="cycles_")
