@@ -12,7 +12,7 @@ driven from DataLoader workers `src/data.py:127-128`); we run exactly that
 math with torch on this host's CPU and compare mel-frames/sec.
 
 Deadline discipline (round-3 lesson: BENCH_r03 was rc=124 with ZERO keys):
-the whole bench runs under a global wall budget (default 660 s, override
+the whole bench runs under a global wall budget (default 560 s, override
 with SEMI_TTS_BENCH_BUDGET_S). Stages run most-important-first, each merges
 its keys into the shared result dict the moment it finishes, the clock is
 checked against a per-stage cost estimate before starting the next stage,
@@ -566,7 +566,9 @@ def main():
                         "semi_tts_xla_cache_%s" % getpass.getuser()))
     _device_watchdog()
 
-    budget = float(os.environ.get("SEMI_TTS_BENCH_BUDGET_S", "660"))
+    # 560 s: the driver's own `timeout` killed BENCH_r03 somewhere past
+    # 614 s — our watchdog must ALWAYS win that race, so stay well under.
+    budget = float(os.environ.get("SEMI_TTS_BENCH_BUDGET_S", "560"))
     deadline = _T_START + budget
     _merge(bench_budget_s=budget)
 

@@ -188,6 +188,20 @@ class TTSLoader:
 
 def infinite(loader):
     """Endless epoch cycling (the reference re-creates exhausted iterators,
-    `bin/train_vqvae.py:34-42`)."""
+    `bin/train_vqvae.py:34-42`).
+
+    Raises instead of livelocking when the loader is empty — e.g. a split
+    smaller than ``batch_size`` with ``drop_last=True`` yields zero batches,
+    and the reference's re-create-on-exhaustion loop would spin forever
+    (each empty pass here also spawns a prefetch thread). Measured: a 4-item
+    paired split with batch_size=8 burned 2h+ of CPU in 47M empty epochs."""
     while True:
-        yield from loader
+        n = 0
+        for b in loader:
+            n += 1
+            yield b
+        if n == 0:
+            raise RuntimeError(
+                "infinite(loader): the loader yielded no batches — split "
+                "smaller than batch_size with drop_last=True? Lower the "
+                "batch size (or disable drop_last) for this split.")

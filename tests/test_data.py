@@ -90,6 +90,20 @@ def test_loader_batches_and_bucketing(tmp_path):
     assert len(seen) == 5
 
 
+def test_infinite_raises_on_empty_loader(tmp_path):
+    """Split smaller than batch_size + drop_last=True yields zero batches;
+    infinite() must raise, not livelock re-creating empty epochs (the
+    reference's re-create loop, `bin/train_vqvae.py:34-42`, spins forever)."""
+    corpus = make_synthetic_corpus(str(tmp_path))  # paired split has 4 items
+    tok = load_text_encoder("phoneme", corpus["vocab_file"], corpus["map_table"])
+    ds = VCTKDataset(corpus["path"], corpus["partition_table"], "paired",
+                     False, 8, corpus["spkr_map"])
+    loader = TTSLoader(ds, tok, shuffle=True, drop_last=True, seed=0)
+    assert list(loader) == []
+    with pytest.raises(RuntimeError, match="no batches"):
+        next(infinite(loader))
+
+
 def test_loader_prefetch_error_propagates(tmp_path):
     corpus = make_synthetic_corpus(str(tmp_path))
     tok = load_text_encoder("phoneme", corpus["vocab_file"], corpus["map_table"])

@@ -48,9 +48,12 @@ def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step,
     # makes cycles-vs-control trajectories identical until start_step
     cfg["hparas"]["unpair_speech_start_step"] = start_step
     cfg["hparas"]["unpair_text_start_step"] = start_step
+    # batch size must not exceed the paired-split size: drop_last=True would
+    # yield ZERO paired batches and infinite(loader) raises (it used to
+    # livelock — 47M empty epochs before the guard, see data/loader.py)
     cfg["data"]["corpus"] = make_conditioned_corpus(
         root, n_per_split=(n_paired, n_unpaired, 16, 4),
-        utt_phones=utt_phones)
+        utt_phones=utt_phones, batch_size=min(8, n_paired))
     m = cfg["model"]
     m["spkr_latent_dim"] = 16
     m["encoder"].update(dim=64, rnn_dim=48)
