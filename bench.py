@@ -548,6 +548,33 @@ def _stage_serve_latency(B=1, repeats=8, decode_steps=200):
 # ---------------------------------------------------------------------------
 
 
+class StageScheduler:
+    """Budget gate for the bench's stage loop (pure host logic, unit-tested
+    in `tests/test_bench_sched.py` — a bug here silently forfeits BENCH keys).
+
+    Stage estimates are COLD-cache costs, but with the persistent compile
+    cache warm each stage runs 5-15x under its estimate — so completed
+    stages' actual/estimate ratios scale the remaining estimates. The scale
+    is the LOW-median of observed ratios, capped at 1.0 (one stage blown out
+    by a tunnel trough must never cascade into skipping everything after it
+    — r4 saw a 442 s featurizer stage on a warm cache) and floored at 0.1
+    (never extrapolate more than 10x optimism from a few fast stages)."""
+
+    def __init__(self):
+        self.ratios: list = []  # actual/estimate of completed stages
+
+    def scale(self) -> float:
+        if not self.ratios:
+            return 1.0
+        return max(0.1, min(1.0, sorted(self.ratios)[(len(self.ratios) - 1) // 2]))
+
+    def affords(self, est: float, remaining: float) -> bool:
+        return remaining >= est * self.scale()
+
+    def record(self, est: float, actual: float) -> None:
+        self.ratios.append(actual / est)
+
+
 def main():
     # Persistent XLA compile cache: the bench's dominant wall cost is the
     # remote compiles; re-runs on the same host hit the cache and measure in
@@ -612,22 +639,13 @@ def main():
         # docs/PERFORMANCE.md.
     ]
     skipped = []
-    ratios: list = []  # actual/estimate of completed stages
+    sched = StageScheduler()
     for name, est, fn in stages:
-        # Adaptive gate: estimates are COLD-cache costs, but with the
-        # persistent compile cache warm each stage runs 5-15x under its
-        # estimate — scale remaining estimates by the low-median observed
-        # actual/estimate ratio so a warm run never skips stages it could
-        # easily afford. Never scale UP (capped at 1.0): one stage blown out
-        # by a tunnel-bandwidth trough must not cascade into skipping
-        # everything after it (r4: a 512 s featurizer wave transfer did).
-        scale = (max(0.1, min(1.0, sorted(ratios)[(len(ratios) - 1) // 2]))
-                 if ratios else 1.0)
         remaining = deadline - time.time()
-        if remaining < est * scale:
+        if not sched.affords(est, remaining):
             skipped.append(name)
             _stage_log("SKIP %s (est %ds x %.2f > %.0fs left)"
-                       % (name, est, scale, remaining))
+                       % (name, est, sched.scale(), remaining))
             continue
         _stage_log(name)
         t_stage = time.time()
@@ -637,7 +655,7 @@ def main():
             _stage_log("ERROR in %s: %r" % (name, e))
             skipped.append(name + ":error")
             _merge(**{"error_" + name: repr(e)[:200]})
-        ratios.append((time.time() - t_stage) / est)
+        sched.record(est, time.time() - t_stage)
     if skipped:
         _merge(stages_skipped=skipped)
     _stage_log("done (%.1fs)" % (time.time() - _T_START))
