@@ -124,7 +124,7 @@ def _best_of(fn, n=3):
     return best
 
 
-def _differential_time(chained, n_lo, n_hi):
+def _differential_time(chained, n_lo, n_hi, samples_out=None):
     """Per-iteration device time of a chained program whose trip count is a
     TRACED argument: time the same executable at ``n_lo`` and ``n_hi``
     iterations (best-of-3 each, interleaved) and divide the difference.
@@ -133,15 +133,24 @@ def _differential_time(chained, n_lo, n_hi):
     100-300 ms during bandwidth troughs (measured r4: the same featurizer
     program read 24.3 vs 32.9 ms/iter depending on the hour at a fixed
     iteration count) — it is identical for both trip counts, so the
-    subtraction cancels it exactly instead of merely amortizing it."""
+    subtraction cancels it exactly instead of merely amortizing it.
+
+    ``samples_out``: optional list; receives the per-round (hi_i-lo_i)/dn
+    estimates so callers can emit a stability marker (best-vs-median spread
+    — BENCH_r04's featurizer caught a 30% device trough that was invisible
+    in the single best-of number; VERDICT r4 item 5c)."""
     lo = hi = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         chained(n_lo)
-        lo = min(lo, time.perf_counter() - t0)
+        lo_i = time.perf_counter() - t0
+        lo = min(lo, lo_i)
         t0 = time.perf_counter()
         chained(n_hi)
-        hi = min(hi, time.perf_counter() - t0)
+        hi_i = time.perf_counter() - t0
+        hi = min(hi, hi_i)
+        if samples_out is not None:
+            samples_out.append((hi_i - lo_i) / (n_hi - n_lo))
     return (hi - lo) / (n_hi - n_lo)
 
 
@@ -228,15 +237,23 @@ def _stage_feat_tpu(iters=40):
 
     key = jax.random.PRNGKey(0)
     float(chained(wd, ld, key, jnp.int32(iters)))  # compile + warm
+    samples = []
     dt = _differential_time(
-        lambda n: float(chained(wd, ld, key, jnp.int32(n))), iters, 4 * iters)
+        lambda n: float(chained(wd, ld, key, jnp.int32(n))), iters, 4 * iters,
+        samples_out=samples)
     flops = matmul_flops(
         lambda w, l, k: (feat.featurize(w, l), feat.featurize_augmented(w, l, k)),
         wd, ld, key)
     frames = int(frame_counts(wd, ld, key))
     rate = frames / dt
+    # stability marker: median-vs-best spread of the 3 differential rounds.
+    # ~1.0 = quiet device; BENCH_r04's 30% co-tenant trough would have shown
+    # here as ~1.3, making a trough-hour record self-describing.
+    med = float(np.median(samples)) if samples else dt
     _merge(value=round(rate, 1),
            featurize_batch_ms=round(dt * 1e3, 2),
+           featurize_batch_ms_median=round(med * 1e3, 2),
+           featurizer_stability_median_over_best=round(med / dt, 3) if dt else 0,
            featurization_mel_frames_per_device_sec=round(rate, 1),
            featurizer_mfu_pct=round(100 * flops / dt / V5E_BF16_PEAK, 1),
            # the frame count (numerator) includes BOTH the clean and the
@@ -540,9 +557,23 @@ def _stage_serve_latency(B=1, repeats=8, decode_steps=200):
 
     request()  # compile + warm (B=1 programs are distinct from B=16's)
     lat = min(_best_of(request, n=1) for _ in range(repeats))
+
+    # decompose: the tunnel's dispatch+readback floor, measured with a no-op
+    # program the same way (tools/serve_latency.py methodology). A co-located
+    # deployment pays ~(latency - roundtrip); without this key the headline
+    # number conflates the two (VERDICT r4 item 5b/weak 4).
+    import jax.numpy as jnp
+
+    noop = jax.jit(lambda x: x + 1.0)
+    one = jnp.float32(0.0)
+    float(noop(one))  # compile
+    rt = min(_best_of(lambda: float(noop(one)), n=1) for _ in range(repeats))
     _merge(**{"serve_latency_ms_b%d" % B: round(lat * 1e3, 1),
               "serve_latency_realtime_factor_b%d" % B:
-                  round(audio_sec / lat, 1)})
+                  round(audio_sec / lat, 1),
+              "tunnel_roundtrip_ms": round(rt * 1e3, 1),
+              "serve_latency_ms_b%d_minus_roundtrip" % B:
+                  round((lat - rt) * 1e3, 1)})
 
 
 # ---------------------------------------------------------------------------
@@ -582,15 +613,10 @@ def main():
     # stores compiled executables, not measurements). Per-user dir (0700) so
     # multi-user hosts neither collide nor deserialize another user's
     # entries; SEMI_TTS_COMPILE_CACHE overrides.
-    import getpass
-    import tempfile
+    from semi_tts_tpu.utils.compile_cache import (default_cache_dir,
+                                                  enable_compilation_cache)
 
-    from semi_tts_tpu.utils.compile_cache import enable_compilation_cache
-
-    enable_compilation_cache(
-        os.environ.get("SEMI_TTS_COMPILE_CACHE")
-        or os.path.join(tempfile.gettempdir(),
-                        "semi_tts_xla_cache_%s" % getpass.getuser()))
+    enable_compilation_cache(default_cache_dir())
     _device_watchdog()
 
     # 560 s: the driver's own `timeout` killed BENCH_r03 somewhere past
@@ -631,6 +657,10 @@ def main():
         ("train_text_first_b8", 120, lambda: _stage_train("text_first", 8)),
         ("decoder_b256", 60, lambda: _stage_decoder(256, with_mfu=False)),
         ("decoder_b512", 60, lambda: _stage_decoder(512, with_mfu=False)),
+        # training-side batch saturation (VERDICT r4 item 4): B=128 is where
+        # tools/batch_scaling.py's curve flattens — see docs/PERFORMANCE.md
+        ("train_paired_b128", 140,
+         lambda: _stage_train("paired", 128, with_mfu=True, iters=12)),
         # NO tts_e2e_b64 stage: the B=64 synthesis program (decode scan +
         # CBHG) did not finish its remote XLA compile in 24 min (r4 measured;
         # r3 saw the same for the B>=32 monoliths) — unbenchable within any
@@ -655,7 +685,11 @@ def main():
             _stage_log("ERROR in %s: %r" % (name, e))
             skipped.append(name + ":error")
             _merge(**{"error_" + name: repr(e)[:200]})
-        sched.record(est, time.time() - t_stage)
+        else:
+            # only SUCCESSFUL stages inform the budget model: an excepted
+            # stage's (tiny) wall time would record a misleading ratio and
+            # inflate the scheduler's optimism (VERDICT r4 item 8a)
+            sched.record(est, time.time() - t_stage)
     if skipped:
         _merge(stages_skipped=skipped)
     _stage_log("done (%.1fs)" % (time.time() - _T_START))

@@ -142,7 +142,6 @@ def decoder_apply(
     tf_rate=1.0,
     memory_lengths=None,
     wgrad_probes=None,
-    qweights=None,
     remat: bool = False,
 ):
     """Run the AR decoder for ``decode_steps`` macro-steps.
@@ -172,14 +171,9 @@ def decoder_apply(
     the per-step gate gradients instead, and `assemble_wgrads` rebuilds the
     exact same dW with one batched einsum outside the loop.
 
-    ``qweights`` (serving-only, from `ops.qmatmul.quantize_decoder`):
-    int8-quantized hot weights. The decode loop is weight-streaming-bound
-    (~35 MB of bf16 weights re-read per step); with ``qweights`` the two
-    LSTM cells' matmuls and the frame projection stream int8 through a
-    Pallas kernel that dequantizes in VMEM — roughly halving per-step HBM
-    bytes. Weights-only quantization: output differs from the bf16 path by
-    the int8 rounding of W (per-output-row scales). Incompatible with
-    ``wgrad_probes``/training.
+    (An int8 weight-streaming serving branch lived here through r4; it was
+    retired after the byte-economics analysis showed TP strictly dominates
+    it on v5e — docs/PERFORMANCE.md "int8-under-TP byte economics".)
     """
     B, L, _ = memory.shape
     r, M = cfg.n_frames_per_step, cfg.n_mels
@@ -229,10 +223,6 @@ def decoder_apply(
     )
 
     use_probes = wgrad_probes is not None
-    use_q = qweights is not None
-    if use_q:
-        assert not train and not use_probes, "qweights is a serving-only path"
-        from ..ops.qmatmul import lstm_cell_q, qmatmul
 
     def step(c, xs):
         if use_probes:
@@ -244,12 +234,8 @@ def decoder_apply(
 
         # ---- decode_one_step (`src/module.py:216-288`) ----
         q_in = jnp.concatenate([c["dec_in"], c["attn_ctx"]], axis=-1)
-        if use_q:
-            q_h, q_c = lstm_cell_q(qweights["query_rnn"], qweights["query_rnn"]["bias"],
-                                   q_in, c["q_h"], c["q_c"])
-        else:
-            q_h, q_c = lstm_cell(params["query_rnn"], q_in, c["q_h"], c["q_c"],
-                                 probe=probe_q, stop_w=use_probes)
+        q_h, q_c = lstm_cell(params["query_rnn"], q_in, c["q_h"], c["q_c"],
+                             probe=probe_q, stop_w=use_probes)
         q_h = dropout(k_q, q_h, cfg.query_dropout, enabled=train)
 
         if cfg.pretrain:
@@ -270,24 +256,12 @@ def decoder_apply(
         else:
             adapted = q_h
         d_in = jnp.concatenate([ctx, adapted], axis=-1)
-        if use_q:
-            d_h, d_c = lstm_cell_q(qweights["dec_rnn"], qweights["dec_rnn"]["bias"],
-                                   d_in, c["d_h"], c["d_c"])
-        else:
-            d_h, d_c = lstm_cell(params["dec_rnn"], d_in, c["d_h"], c["d_c"],
-                                 probe=probe_d, stop_w=use_probes)
+        d_h, d_c = lstm_cell(params["dec_rnn"], d_in, c["d_h"], c["d_c"],
+                             probe=probe_d, stop_w=use_probes)
         d_h = dropout(k_d, d_h, cfg.dec_dropout, enabled=train)
 
         hc = jnp.concatenate([d_h, ctx], axis=-1)
-        if use_q:
-            # quantize_rows pads output rows to a lane multiple; slice back
-            # to the true out-dim (static: the bias length)
-            n_out = params["proj"]["b"].shape[0]
-            mel_flat = qmatmul(hc, *qweights["proj"]["w"])[:, :n_out] \
-                + params["proj"]["b"]
-            mel_out = mel_flat.reshape(B, r, M)
-        else:
-            mel_out = linear(params["proj"], hc).reshape(B, r, M)
+        mel_out = linear(params["proj"], hc).reshape(B, r, M)
         stop = jnp.repeat(linear(params["gate"], hc), r, axis=1)  # (B, r)
 
         # ---- scheduled sampling (`src/module.py:190-206`) ----

@@ -53,7 +53,7 @@ def tts_init(key, cfg: TTSConfig):
 
 def tts_apply(params, state, rng, txt_embed, spkr_embed, *, cfg: TTSConfig,
               decode_steps: int, train: bool, teacher=None, teacher_rows=None,
-              tf_rate=1.0, txt_lengths=None, wgrad_probes=None, qweights=None):
+              tf_rate=1.0, txt_lengths=None, wgrad_probes=None):
     """txt_embed: (B, L, in_embed_dim) codebook latents.
 
     Returns (mel, linear, align, stop, new_state) — plus the decoder's
@@ -68,8 +68,7 @@ def tts_apply(params, state, rng, txt_embed, spkr_embed, *, cfg: TTSConfig,
                             cfg=cfg.decoder, decode_steps=decode_steps,
                             train=train, teacher=teacher,
                             teacher_rows=teacher_rows, tf_rate=tf_rate,
-                            memory_lengths=txt_lengths, wgrad_probes=wgrad_probes,
-                            qweights=qweights)
+                            memory_lengths=txt_lengths, wgrad_probes=wgrad_probes)
     mel, align, stop = dec_out[:3]
     new_state = {"encoder": enc_s}
     lin = None

@@ -177,14 +177,12 @@ def embed_text(params, cfg: VQVAEConfig, phn_attr, txt):
 def text_to_speech(params, state, rng, cfg: VQVAEConfig, all_latent, all_sid, *,
                    decode_steps: int, train: bool, teacher=None,
                    teacher_rows=None, tf_rate=1.0, latent_lengths=None,
-                   wgrad_probes=None, qweights=None):
+                   wgrad_probes=None):
     """Decode a packed latent batch to (mel, linear, align, stop, new_state)
     — plus the decoder weight-grad ``aux`` when ``wgrad_probes`` is given
     (training-only fast backward; see `decoder.decoder_apply`).
 
     ``all_sid``: (B_all,) int speaker ids -> embedding lookup (`src/vqvae.py:163`).
-    ``qweights`` (serving-only): int8-streamed decoder hot weights from
-    `ops.qmatmul.quantize_decoder`.
     """
     spkr = params["spkr_embed"][all_sid]
     out = tts_apply(params["tts"], state["tts"], rng,
@@ -192,7 +190,7 @@ def text_to_speech(params, state, rng, cfg: VQVAEConfig, all_latent, all_sid, *,
                     decode_steps=decode_steps, train=train,
                     teacher=teacher, teacher_rows=teacher_rows,
                     tf_rate=tf_rate, txt_lengths=latent_lengths,
-                    wgrad_probes=wgrad_probes, qweights=qweights)
+                    wgrad_probes=wgrad_probes)
     mel, lin, align, stop, tts_s = out[:5]
     new_state = dict(state)
     new_state["tts"] = tts_s

@@ -37,6 +37,7 @@ compiled programs instead of recompiling per length.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 
 import numpy as np
@@ -50,21 +51,19 @@ from .ops.griffin_lim import specgram_to_waveform
 INFERENCE_MARGIN_FRAMES = 40  # (`bin/gen_specgram.py:17`)
 
 
-def serving_stages(cfg, featurizer, phn_attr, decode_steps, *, qweights=None,
+def serving_stages(cfg, featurizer, phn_attr, decode_steps, *,
                    mask_text_padding=True):
     """Build the (synth, vocode) stage jits.
 
     ``synth(params, state, text, sid, key) -> linear amplitude (B, T, F)``
     ``vocode(amp, key) -> waveform (B, S)``
 
-    ``qweights``: optional int8-streamed decoder weights from
-    `ops.qmatmul.quantize_decoder`. Measured 0.91x on single-chip v5e (the
-    pallas_call boundaries break XLA's weight-prefetch pipeline,
-    docs/PERFORMANCE.md) — only use where the economics change (e.g.
-    TP-sharded weights over ICI).
-
     ``mask_text_padding``: mask attention over padded text positions
     (matches the eval step; the bench pins it True).
+
+    (An int8 weight-streaming option lived here through r4; retired — TP
+    strictly dominates it on v5e, docs/PERFORMANCE.md "int8-under-TP byte
+    economics".)
     """
     c = featurizer.cfg
 
@@ -74,8 +73,7 @@ def serving_stages(cfg, featurizer, phn_attr, decode_steps, *, qweights=None,
         lengths = jnp.sum(text != 0, -1) + 1 if mask_text_padding else None
         mel, lin, align, stop, _ = V.text_to_speech(
             params, state, key, cfg, lat, sid, decode_steps=decode_steps,
-            train=False, teacher=None, tf_rate=0.0, latent_lengths=lengths,
-            qweights=qweights)
+            train=False, teacher=None, tf_rate=0.0, latent_lengths=lengths)
         return featurizer.linear_to_amp(lin)
 
     @jax.jit
@@ -85,6 +83,27 @@ def serving_stages(cfg, featurizer, phn_attr, decode_steps, *, qweights=None,
             win_length=c.win_length, preemphasis_coeff=c.preemphasis_coeff)
 
     return synth, vocode
+
+
+class _Once:
+    """Build-once cell: the first ``result()`` runs the build, concurrent
+    callers for the SAME key wait on this cell's lock (not the server's LRU
+    lock, so other keys keep serving), later callers get the memoized value.
+    A failed build leaves the cell retryable."""
+
+    def __init__(self, build):
+        self._build = build
+        self._lock = threading.Lock()
+        self._value = None
+        self._done = False
+
+    def result(self):
+        with self._lock:
+            if not self._done:
+                self._value = self._build()
+                self._done = True
+                self._build = None
+            return self._value
 
 
 class TTSServer:
@@ -106,6 +125,17 @@ class TTSServer:
     and the weights over the ``model`` axis (batch must divide the data
     axis; TP2 output equality is covered by `tests/test_parallel.py`).
 
+    Thread safety: ``synthesize`` / ``synthesize_full`` may be called from
+    many threads concurrently. The program LRU and the RNG counter are
+    lock-protected; a cache miss compiles under a per-key cell so two
+    threads racing the same decode bucket build once and everyone else
+    (hitting other buckets) keeps serving — the global lock is only held
+    for dict bookkeeping, never across a compile. Eviction is safe during
+    use: an evicted program already handed to a caller stays valid (the
+    caller holds the jitted callables); eviction only drops the cache's
+    reference. Covered by `tests/test_serve.py` (8-thread hammer against a
+    2-entry cache).
+
     Note: the persistent compile cache is process-global and
     last-writer-wins — constructing two servers with different
     ``compile_cache`` dirs in one process re-points later compiles of BOTH
@@ -113,8 +143,8 @@ class TTSServer:
     """
 
     def __init__(self, cfg, featurizer, phn_attr, params, state, *,
-                 mesh=None, step_bucket=25, int8_weights=False,
-                 compile_cache=None, program_cache_size=8):
+                 mesh=None, step_bucket=25, compile_cache=None,
+                 program_cache_size=8):
         if compile_cache:
             from .utils.compile_cache import enable_compilation_cache
 
@@ -136,18 +166,14 @@ class TTSServer:
         self.step_bucket = int(step_bucket)
         self.program_cache_size = max(1, int(program_cache_size))
         self._programs: OrderedDict = OrderedDict()
-        self.qweights = None
-        if int8_weights:
-            from .ops.qmatmul import quantize_decoder
-
-            self.qweights = quantize_decoder(params["tts"]["decoder"])
         self._counter = 0
+        self._lock = threading.Lock()  # guards _programs + _counter
 
     # ---- construction -----------------------------------------------------
 
     @classmethod
     def from_checkpoint(cls, config, ckpt_path, *, mesh=None, step_bucket=25,
-                        int8_weights=False, compile_cache=None):
+                        compile_cache=None):
         """Build from a training YAML (path or loaded dict) + checkpoint.
 
         Mirrors the inference solver's model assembly
@@ -200,7 +226,7 @@ class TTSServer:
         server = cls(cfg, featurizer,
                      None if phn_attr is None else jnp.asarray(phn_attr),
                      params, state, mesh=mesh, step_bucket=step_bucket,
-                     int8_weights=int8_weights, compile_cache=compile_cache)
+                     compile_cache=compile_cache)
         server.tokenizer = tokenizer
         return server
 
@@ -208,42 +234,58 @@ class TTSServer:
 
     def decode_steps_for(self, text) -> int:
         """Macro-step budget for a padded text batch: FRAME_PHN_RATIO frames
-        per longest-text token + the 40-frame margin, bucketed up."""
+        per longest-text token + the 40-frame margin, bucketed up. All-pad
+        text (n_tok floors at 1) still yields the margin-sized budget."""
         n_tok = int(np.max(np.sum(np.asarray(text) != 0, -1))) + 1
         r = self.cfg.n_frames_per_step
         steps = (int(n_tok * V.FRAME_PHN_RATIO) + INFERENCE_MARGIN_FRAMES + r - 1) // r
         b = self.step_bucket
         return ((steps + b - 1) // b) * b
 
+    @staticmethod
+    def _check_decode_steps(decode_steps):
+        if decode_steps is not None and int(decode_steps) < 1:
+            raise ValueError(
+                "decode_steps must be >= 1 (got %r); omit it to use the "
+                "frames-per-phoneme policy (decode_steps_for)" % (decode_steps,))
+
     def _cached_program(self, kind, decode_steps, build):
         """Bounded LRU over compiled stage programs, keyed by (kind, length).
 
         Eviction drops the jitted callables (and with them the compiled
         executables); a later request for that bucket rebuilds them — from
-        the persistent compile cache in seconds when one is configured."""
+        the persistent compile cache in seconds when one is configured.
+
+        Thread-safe: dict bookkeeping (hit/move/insert/evict) happens under
+        the server lock; the build itself runs under the entry's own `_Once`
+        lock so a slow compile never blocks hits on other buckets."""
         key = (kind, int(decode_steps))
-        if key in self._programs:
-            self._programs.move_to_end(key)
-            return self._programs[key]
-        prog = build()
-        self._programs[key] = prog
-        while len(self._programs) > self.program_cache_size:
-            self._programs.popitem(last=False)
-        return prog
+        with self._lock:
+            entry = self._programs.get(key)
+            if entry is None:
+                entry = _Once(build)
+                self._programs[key] = entry
+                while len(self._programs) > self.program_cache_size:
+                    self._programs.popitem(last=False)
+            else:
+                self._programs.move_to_end(key)
+        return entry.result()
 
     def stages(self, decode_steps: int):
         """(synth, vocode) jits for one bucketed decode length (LRU-cached)."""
         return self._cached_program(
             "stages", decode_steps,
             lambda: serving_stages(self.cfg, self.featurizer, self.phn_attr,
-                                   decode_steps, qweights=self.qweights))
+                                   decode_steps))
 
     # ---- request paths -----------------------------------------------------
 
     def _key(self, key):
         if key is None:
-            key = jax.random.fold_in(jax.random.PRNGKey(0), self._counter)
-            self._counter += 1
+            with self._lock:
+                c = self._counter
+                self._counter += 1
+            key = jax.random.fold_in(jax.random.PRNGKey(0), c)
         return key
 
     def _place(self, text, sid):
@@ -261,6 +303,7 @@ class TTSServer:
         Both stages are dispatched back-to-back (JAX async dispatch keeps
         the device queue full); the return materializes on host.
         """
+        self._check_decode_steps(decode_steps)
         text, sid = self._place(text, sid)
         steps = decode_steps or self.decode_steps_for(text)
         synth, vocode = self.stages(steps)
@@ -273,6 +316,7 @@ class TTSServer:
         dict(wav, mel, linear, align) with the alignment cropped per
         utterance exactly as `{id}-align.npy` is
         (`train/gen_specgram.py:105-124`, `bin/gen_specgram.py:112-124`)."""
+        self._check_decode_steps(decode_steps)
         text, sid = self._place(text, sid)
         steps = decode_steps or self.decode_steps_for(text)
         synth, vocode = self.stages(steps)
@@ -300,7 +344,6 @@ class TTSServer:
 
     def _build_full_stage(self, decode_steps: int):
         cfg, featurizer, phn_attr = self.cfg, self.featurizer, self.phn_attr
-        qweights = self.qweights
 
         @jax.jit
         def full(params, state, text, sid, key):
@@ -309,7 +352,7 @@ class TTSServer:
             mel, lin, align, stop, _ = V.text_to_speech(
                 params, state, key, cfg, lat, sid, decode_steps=decode_steps,
                 train=False, teacher=None, tf_rate=0.0,
-                latent_lengths=lengths, qweights=qweights)
+                latent_lengths=lengths)
             return mel, lin, align, featurizer.linear_to_amp(lin)
 
         return full

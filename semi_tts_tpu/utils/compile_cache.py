@@ -56,6 +56,21 @@ def enable_compilation_cache(cache_dir: str, *, min_compile_seconds: float = 1.0
     return cache_dir
 
 
+def default_cache_dir() -> str:
+    """The bench-family default cache path: ``SEMI_TTS_COMPILE_CACHE`` if
+    set, else a per-user dir under the system tempdir (0700 on creation —
+    entries are deserialized executables, never share them across users).
+    ONE definition so bench.py, tools/warm_bench_cache.py and
+    tools/cycle_check.py can never silently warm different caches
+    (ADVICE r4)."""
+    import getpass
+    import tempfile
+
+    return (os.environ.get("SEMI_TTS_COMPILE_CACHE")
+            or os.path.join(tempfile.gettempdir(),
+                            "semi_tts_xla_cache_%s" % getpass.getuser()))
+
+
 def maybe_enable_from_env(flag_value: str | None = None) -> str | None:
     """Enable the cache from an explicit flag value or the
     ``SEMI_TTS_COMPILE_CACHE`` environment variable (either may be empty =

@@ -67,3 +67,19 @@ def test_server_kwarg(tmp_path, cache_guard):
     TTSServer(cfg, feat, phn_attr, params, state,
               compile_cache=str(tmp_path / "srv_cc"))
     assert jax.config.jax_compilation_cache_dir == str(tmp_path / "srv_cc")
+
+
+def test_default_cache_dir_shared_helper(monkeypatch, tmp_path):
+    """ONE dir derivation shared by bench.py / tools/warm_bench_cache.py /
+    tools/cycle_check.py (ADVICE r4): env override wins, else a per-user
+    tempdir path."""
+    from semi_tts_tpu.utils import compile_cache as cc
+
+    monkeypatch.setenv("SEMI_TTS_COMPILE_CACHE", str(tmp_path / "x"))
+    assert cc.default_cache_dir() == str(tmp_path / "x")
+    monkeypatch.delenv("SEMI_TTS_COMPILE_CACHE", raising=False)
+    import getpass
+    import tempfile
+
+    assert cc.default_cache_dir() == os.path.join(
+        tempfile.gettempdir(), "semi_tts_xla_cache_%s" % getpass.getuser())

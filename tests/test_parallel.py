@@ -121,6 +121,51 @@ def test_dp_tp_step_matches_single_device(small_model):
                                    rtol=5e-3, atol=5e-5)
 
 
+def test_full_dims_shard_and_execute_dp4tp2():
+    """The FLAGSHIP dims (query/dec RNN 1024, encoder 512 — what ships) are
+    actually sharded and executed on the DP4xTP2 mesh (VERDICT r4 item 2):
+    spec coverage alone is tree-structural, so a full-dim-only divisibility
+    or layout bug would otherwise pass. One speech-first train step at tiny
+    batch/short waves; asserts real 'model' shards + finite loss/updates."""
+    import __graft_entry__ as g
+    from semi_tts_tpu.train.optim import make_optimizer
+    from semi_tts_tpu.train.steps import StepBuilder, Weights
+
+    cfg, feat, phn_attr, params, state = g._build("full")
+    tx, _ = make_optimizer("Adam", 1e-3, "decay")
+    mesh = make_mesh(8, model_parallel=2)
+    builder = StepBuilder(cfg, feat, phn_attr, tx, mesh=mesh,
+                          weights=Weights(unpair_speech=10.0),
+                          freq_loss_kwargs=dict(sample_rate=22050, n_mels=80,
+                                                loss="mse",
+                                                differential_loss=True,
+                                                emphasize_linear_low=True))
+    params8 = shard_params(params, mesh)
+    # the wide decoder/encoder weights are genuinely split at full dims
+    assert params8["tts"]["decoder"]["query_rnn"]["w_ih"].sharding.spec \
+        == P("model", None)
+    assert params8["asr"]["rnn"][0]["fwd"]["w_ih"].sharding.spec \
+        == P("model", None)
+    state8 = replicate(state, mesh)
+    opt8 = replicate(tx.init(params8), mesh)
+    B = 4  # one utterance per data shard
+    args = tuple(map(jnp.asarray, g._example_batch(B, 0.5)
+                     + g._example_batch(B, 0.5, seed=1)))
+    batch8 = shard_batch(dict(a=args), mesh)["a"]
+    step = builder.make_speech_first_step()
+    with mesh:
+        p8, s8, o8, m8 = step(params8, state8, opt8, jax.random.PRNGKey(0),
+                              1, 1.0, *batch8)
+        jax.block_until_ready(m8["total_loss"])
+    assert np.isfinite(float(m8["total_loss"]))
+    # updated params keep their shards and stay finite (XLA may normalize
+    # the spec's trailing None away — P('model',) == P('model', None))
+    out_spec = p8["tts"]["decoder"]["query_rnn"]["w_ih"].sharding.spec
+    assert out_spec in (P("model", None), P("model"))
+    w = np.asarray(p8["tts"]["decoder"]["query_rnn"]["w_ih"])
+    assert np.isfinite(w).all()
+
+
 def test_trainer_mesh_e2e(tmp_path):
     """--mesh DxM drives the real trainer: params sharded by the explicit
     specs, batches on 'data', train + validation + checkpoint run."""

@@ -166,47 +166,128 @@ def test_program_cache_eviction_recompiles(served):
     np.testing.assert_array_equal(wav_a, wav_b)
 
 
-def test_server_int8_with_tp_mesh(served):
-    """int8 weight streaming COMPOSED with a TP2 mesh — the configuration
-    the ICI-economics hypothesis (serve.py `qweights` note) is about. This
-    gates correctness of the composition only; whether int8 actually wins
-    over ICI-sharded weights is unmeasured on real multi-chip hardware
-    (docs/PERFORMANCE.md)."""
+def test_synthesize_thread_safety_hammer(served):
+    """8 threads hammer `synthesize` with mixed decode lengths against a
+    2-entry program cache (VERDICT r4 #3): every waveform must be finite and
+    byte-identical to the single-threaded result for the same key, and the
+    LRU must never exceed its bound — exercising eviction-during-use and
+    concurrent build/hit/evict interleavings."""
+    import threading
+
+    server, cfg, phn_attr, params, state = served
+    srv = TTSServer(cfg, server.featurizer, phn_attr, params, state,
+                    program_cache_size=2)
+    text, sid = _requests()
+    lengths = [4, 6, 8]  # 3 buckets > cache size 2 -> constant eviction
+    keys = {d: jax.random.PRNGKey(100 + d) for d in lengths}
+    expect = {d: srv.synthesize(text, sid, keys[d], decode_steps=d)
+              for d in lengths}
+
+    n_threads, n_reqs = 8, 6
+    errors, bound_violations = [], []
+    barrier = threading.Barrier(n_threads)
+
+    def worker(tid):
+        try:
+            barrier.wait()
+            for i in range(n_reqs):
+                d = lengths[(tid + i) % len(lengths)]
+                wav = srv.synthesize(text, sid, keys[d], decode_steps=d)
+                if not np.isfinite(wav).all():
+                    errors.append((tid, d, "non-finite"))
+                if not np.array_equal(wav, expect[d]):
+                    errors.append((tid, d, "nondeterministic"))
+                with srv._lock:
+                    n = len(srv._programs)
+                if n > srv.program_cache_size:
+                    bound_violations.append(n)
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            errors.append((tid, None, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(t,))
+               for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors[:5]
+    assert not bound_violations, bound_violations
+    assert len(srv._programs) <= srv.program_cache_size
+
+
+def test_key_counter_thread_safety(served):
+    """Concurrent key-less requests must never duplicate RNG keys: the
+    counter increment is lock-protected, so N draws yield N distinct keys."""
+    import threading
+
+    server, *_ = served
+    drawn = []
+    lock = threading.Lock()
+    barrier = threading.Barrier(8)
+
+    def worker():
+        barrier.wait()
+        ks = [np.asarray(server._key(None)) for _ in range(50)]
+        with lock:
+            drawn.extend(ks)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    uniq = {k.tobytes() for k in drawn}
+    assert len(uniq) == len(drawn) == 400
+
+
+def test_serving_adversarial_inputs(served):
+    """Edge inputs a public endpoint sees in week one (VERDICT r4 #7):
+    all-pad text, U=1, batch=1 and non-divisible batch on a mesh, and an
+    explicit decode_steps=0 guard."""
     from semi_tts_tpu.parallel.mesh import make_mesh
 
     server, cfg, phn_attr, params, state = served
-    q1 = TTSServer(cfg, server.featurizer, phn_attr, params, state,
-                   int8_weights=True)
+
+    # all-pad text: n_tok floors at 1 -> margin-sized budget, finite audio
+    pad_text = np.zeros((2, 9), np.int32)
+    sid = np.zeros(2, np.int32)
+    steps = server.decode_steps_for(pad_text)
+    assert steps >= 1 and steps % server.step_bucket == 0
+    wav = server.synthesize(pad_text, sid, jax.random.PRNGKey(0),
+                            decode_steps=4)
+    assert wav.shape[0] == 2 and np.isfinite(wav).all()
+
+    # U=1 (single-token text)
+    one = np.full((1, 1), 5, np.int32)
+    wav = server.synthesize(one, sid[:1], jax.random.PRNGKey(1),
+                            decode_steps=4)
+    assert wav.shape[0] == 1 and np.isfinite(wav).all()
+
+    # text exactly at the bucket boundary: budget lands on a bucket multiple
+    r = cfg.n_frames_per_step
+    b = server.step_bucket
+    # find U whose raw step need is exactly b (if none exists the policy
+    # still buckets up — assert the invariant instead)
+    for U in range(1, 64):
+        need = (int((U + 1) * V.FRAME_PHN_RATIO) + 40 + r - 1) // r
+        t = np.full((1, U), 5, np.int32)
+        got = server.decode_steps_for(t)
+        assert got % b == 0 and got >= need
+
+    # decode_steps=0 (and negatives) are rejected loudly, not silently
+    text, sid2 = _requests()
+    with pytest.raises(ValueError, match="decode_steps"):
+        server.synthesize(text, sid2, decode_steps=0)
+    with pytest.raises(ValueError, match="decode_steps"):
+        server.synthesize_full(text, sid2, decode_steps=-3)
+
+    # mesh + batch=1 (< data axis) and batch=3 (non-divisible): shard_batch
+    # replicates ragged batches instead of crashing — correct output, just
+    # no DP split for that request (parallel/mesh.py:67-72)
     mesh = make_mesh(4, model_parallel=2)
-    qm = TTSServer(cfg, server.featurizer, phn_attr, params, state,
-                   mesh=mesh, int8_weights=True)
-    text, sid = _requests()
-    steps = server.decode_steps_for(text)
-    k1, _ = jax.random.split(jax.random.PRNGKey(19))
-    synth1, _ = q1.stages(steps)
-    synthm, _ = qm.stages(steps)
-    a = np.asarray(synth1(q1.params, q1.state,
-                          jnp.asarray(text), jnp.asarray(sid), k1))
-    tt, ss = qm._place(text, sid)
-    b = np.asarray(synthm(qm.params, qm.state, tt, ss, k1))
-    assert np.isfinite(b).all()
-    # same math, different placement: mesh reductions reorder float sums
-    np.testing.assert_allclose(b, a, rtol=5e-3, atol=1e-4)
-
-
-def test_server_int8_weights_quality(served):
-    """The int8 weight-streaming serving path (off by default; see
-    docs/PERFORMANCE.md for why) stays within quantization tolerance."""
-    server, cfg, phn_attr, params, state = served
-    q = TTSServer(cfg, server.featurizer, phn_attr, params, state,
-                  int8_weights=True)
-    text, sid = _requests()
-    key = jax.random.PRNGKey(13)
-    steps = server.decode_steps_for(text)
-    synth, _ = server.stages(steps)
-    qsynth, _ = q.stages(steps)
-    k1, _ = jax.random.split(key)
-    a = np.asarray(synth(server.params, server.state, jnp.asarray(text), jnp.asarray(sid), k1))
-    b = np.asarray(qsynth(q.params, q.state, jnp.asarray(text), jnp.asarray(sid), k1))
-    assert np.isfinite(b).all()
-    assert np.abs(a - b).mean() < 5e-2
+    sharded = TTSServer(cfg, server.featurizer, phn_attr, params, state,
+                        mesh=mesh)
+    for B in (1, 3):
+        t, s = _requests(B=B)
+        wav = sharded.synthesize(t, s, jax.random.PRNGKey(2), decode_steps=4)
+        assert wav.shape[0] == B and np.isfinite(wav).all()

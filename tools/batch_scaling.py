@@ -6,31 +6,37 @@ docs/PERFORMANCE.md argues the B=8 train step is weight-streaming-bound
 directions), so per-chip MFU should rise with batch the same way serving
 decode does (4.2 M fr/s @ B=64 -> 8.9 M @ B=512). This measures it instead
 of asserting it: the paired supervised step (the reference's
-`bin/train_vqvae.py:124-136` hot loop) at B = 8, 16, 32, 64, reporting
-ms/step, utterance-throughput, and analytic-FLOPs MFU.
+`bin/train_vqvae.py:124-136` hot loop) at B = 8..256, reporting ms/step,
+utterance-throughput, and analytic-FLOPs MFU — B=128/256 locate the
+training-side saturation point (VERDICT r4 item 4), the counterpart of the
+serving decoder's measured B=512 saturation.
 
 B=8 is the reference's parity batch (`config/*.yaml` batch_size); larger B
 is the knob a production deployment would actually turn.
 
-Methodology: chained fori_loop + single scalar readback, best-of-3
-(`bench.py` docstring). Wave seconds fixed at 6 s so frames/utterance is
-constant across B.
+Methodology: chained fori_loop with a TRACED trip count + single scalar
+readback, timed differentially (bench._differential_time) so the tunnel's
+per-call overhead cancels. Wave batches are generated ON DEVICE (a B=256
+host batch is 135 MB — minutes through the tunnel on a bad hour). Wave
+seconds fixed at 6 s so frames/utterance is constant across B. A B that
+OOMs is reported as such and the sweep continues.
 
-Usage: python tools/batch_scaling.py
+Usage: python tools/batch_scaling.py [B ...]
 """
 
 from __future__ import annotations
 
 import json
 import sys
-import time
+import time  # noqa: F401  (kept for ad-hoc use)
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+import numpy as np  # noqa: F401
 
+import bench
 import __graft_entry__ as g
 from semi_tts_tpu.train.optim import make_optimizer
 from semi_tts_tpu.train.steps import StepBuilder, Weights
@@ -40,7 +46,12 @@ V5E_BF16_PEAK = 197e12
 ITERS = 12
 
 
-def main():
+def main(argv=None):
+    bs = [int(b) for b in (argv or [])] or (8, 16, 32, 64, 128, 256)
+    from semi_tts_tpu.utils.compile_cache import (default_cache_dir,
+                                                  enable_compilation_cache)
+
+    enable_compilation_cache(default_cache_dir())
     cfg, feat, phn_attr, params, state = g._build("full")
     tx, _ = make_optimizer("Adam", 1e-3, "decay")
     builder = StepBuilder(cfg, feat, phn_attr, tx,
@@ -53,37 +64,40 @@ def main():
     key = jax.random.PRNGKey(0)
 
     out = {}
-    for B in (8, 16, 32, 64):
-        waves, wave_len, text, sid = g._example_batch(B, 6.0, U=32, seed=0)
-        args = tuple(map(jnp.asarray, (waves, wave_len, text, sid)))
+    for B in bs:
+        w_np, wave_len, text, sid = g._example_batch(B, 6.0, U=32, seed=0)
+        waves = jax.jit(lambda k: jax.random.normal(k, w_np.shape) * 0.1)(
+            jax.random.PRNGKey(0))
+        args = (waves,) + tuple(map(jnp.asarray, (wave_len, text, sid)))
 
         @jax.jit
-        def chained(params, state, opt_state, *args):
+        def chained(params, state, opt_state, n, *args):
             def body(i, c):
                 p, s, o = c
                 p, s, o, _ = step(p, s, o, key, i, 0.9, *args)
                 return (p, s, o)
-            p, s, o = jax.lax.fori_loop(0, ITERS, body, (params, state, opt_state))
+            p, s, o = jax.lax.fori_loop(0, n, body, (params, state, opt_state))
             return jax.tree_util.tree_leaves(p)[0].reshape(-1)[0]
 
-        float(chained(params, state, opt_state, *args))  # compile + warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(chained(params, state, opt_state, *args))
-            best = min(best, time.perf_counter() - t0)
-        dt = best / ITERS
-        flops = matmul_flops(lambda *a: step(*a), params, state, opt_state,
-                             key, 1, 0.9, *args)
-        out[f"B{B}"] = {
-            "ms_per_step": round(dt * 1e3, 1),
-            "utt_per_sec": round(B / dt, 1),
-            "mfu_pct": round(100 * flops / dt / V5E_BF16_PEAK, 1),
-        }
+        try:
+            float(chained(params, state, opt_state, jnp.int32(ITERS), *args))
+            dt = bench._differential_time(
+                lambda n: float(chained(params, state, opt_state,
+                                        jnp.int32(n), *args)),
+                ITERS, 3 * ITERS)
+            flops = matmul_flops(lambda *a: step(*a), params, state, opt_state,
+                                 key, 1, 0.9, *args)
+            out[f"B{B}"] = {
+                "ms_per_step": round(dt * 1e3, 1),
+                "utt_per_sec": round(B / dt, 1),
+                "mfu_pct": round(100 * flops / dt / V5E_BF16_PEAK, 1),
+            }
+        except Exception as e:  # OOM at large B must not kill the sweep
+            out[f"B{B}"] = {"error": repr(e)[:200]}
         print(json.dumps({B: out[f"B{B}"]}), flush=True)
 
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:])

@@ -37,7 +37,8 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step,
-                 start_step=0, n_unpaired=96, n_paired=8, utt_phones=(6, 12)):
+                 start_step=0, n_unpaired=96, n_paired=8, utt_phones=(6, 12),
+                 inventory=10):
     from helpers import make_conditioned_corpus, tiny_config
 
     cfg = tiny_config(root, bone="l2", unpair_speech=unpair_speech,
@@ -53,7 +54,8 @@ def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step,
     # livelock — 47M empty epochs before the guard, see data/loader.py)
     cfg["data"]["corpus"] = make_conditioned_corpus(
         root, n_per_split=(n_paired, n_unpaired, 16, 4),
-        utt_phones=utt_phones, batch_size=min(8, n_paired))
+        utt_phones=utt_phones, batch_size=min(8, n_paired),
+        inventory=inventory)
     m = cfg["model"]
     m["spkr_latent_dim"] = 16
     m["encoder"].update(dim=64, rnn_dim=48)
@@ -67,16 +69,19 @@ def cycle_config(root, *, unpair_speech, unpair_text, steps, valid_step,
 
 
 def run_one(root, *, unpair_speech, unpair_text, steps, seed, start_step=0,
-            n_paired=8, utt_phones=(6, 12)):
+            n_paired=8, utt_phones=(6, 12), n_unpaired=96, inventory=10,
+            valid_step=None):
     from helpers import make_paras
 
     from semi_tts_tpu.train.train_vqvae import VqvaeTrainer
 
-    valid_step = max(steps // 4, 1)
+    if valid_step is None:
+        valid_step = max(steps // 4, 1)
     cfg = cycle_config(root, unpair_speech=unpair_speech,
                        unpair_text=unpair_text, steps=steps,
                        valid_step=valid_step, start_step=start_step,
-                       n_paired=n_paired, utt_phones=utt_phones)
+                       n_paired=n_paired, utt_phones=utt_phones,
+                       n_unpaired=n_unpaired, inventory=inventory)
     paras = make_paras(root, seed=seed)
     solver = VqvaeTrainer(cfg, paras, "train")
     solver.load_data()
@@ -180,6 +185,19 @@ def main():
                          "more length shapes and every extra shape recompiles "
                          "all three step variants (minutes each over the axon "
                          "tunnel; measured ~5x slower wall-clock)")
+    ap.add_argument("--n-unpaired", type=int, default=96,
+                    help="unpaired-split size (reference runs 594 paired vs "
+                         "54k unpaired — scale this with --n-paired to keep "
+                         "a big unpaired:paired ratio in miniature)")
+    ap.add_argument("--inventory", type=int, default=10,
+                    help="phoneme-inventory size of the synthetic corpus")
+    ap.add_argument("--valid-step", type=int, default=None,
+                    help="validation cadence (default steps//4)")
+    ap.add_argument("--probe", action="store_true",
+                    help="warm-up probe: run ONLY the paired-only control and "
+                         "report its dev-PER trajectory — used to find the "
+                         "bootstrappable regime (dev PER <= ~0.5 before "
+                         "cycles engage) before paying for the full A/B")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
     start_step = args.start_step if args.start_step is not None else args.steps // 4
@@ -194,13 +212,10 @@ def main():
     # so everything after the first run warm-starts — the remote compile
     # service is erratically queued (CLAUDE.md) and would otherwise cost
     # tens of minutes per run.
-    import getpass
-    import tempfile as _tf
+    from semi_tts_tpu.utils.compile_cache import (default_cache_dir,
+                                                  enable_compilation_cache)
 
-    from semi_tts_tpu.utils.compile_cache import enable_compilation_cache
-
-    enable_compilation_cache(os.environ.get("SEMI_TTS_COMPILE_CACHE") or os.path.join(
-        _tf.gettempdir(), "semi_tts_xla_cache_%s" % getpass.getuser()))
+    enable_compilation_cache(default_cache_dir())
 
     import numpy as np  # noqa: F401
 
@@ -208,16 +223,34 @@ def main():
     root_b = tempfile.mkdtemp(prefix="control_")
 
     utt_phones = (9, 10) if args.pin_shapes else (6, 12)
+    kw = dict(steps=args.steps, seed=args.seed, start_step=start_step,
+              n_paired=args.n_paired, utt_phones=utt_phones,
+              n_unpaired=args.n_unpaired, inventory=args.inventory,
+              valid_step=args.valid_step)
+
+    if args.probe:
+        sol_b, traj_b, _ = run_one(root_b, unpair_speech=0.0,
+                                   unpair_text=0.0, **kw)
+        best_b = min((v for _, v in traj_b["dev_per"]), default=float("nan"))
+        result = {
+            "experiment": "bootstrap_probe_paired_only",
+            "steps": args.steps, "seed": args.seed,
+            "n_paired": args.n_paired, "inventory": args.inventory,
+            "best_dev_per": round(best_b, 4),
+            "dev_per_trajectory": [[s, round(v, 4)] for s, v in traj_b["dev_per"]],
+            "bootstrappable": best_b <= 0.5,
+        }
+        print(json.dumps(result))
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump(result, f, indent=1)
+        return 0
+
     # reference semi-supervised weights (`config/semi-multi-spkr-paired-data.yaml`)
     sol_a, traj_a, ok_engaged = run_one(root_a, unpair_speech=10.0,
-                                        unpair_text=1.0, steps=args.steps,
-                                        seed=args.seed, start_step=start_step,
-                                        n_paired=args.n_paired,
-                                        utt_phones=utt_phones)
+                                        unpair_text=1.0, **kw)
     sol_b, traj_b, _ = run_one(root_b, unpair_speech=0.0, unpair_text=0.0,
-                               steps=args.steps, seed=args.seed,
-                               start_step=start_step, n_paired=args.n_paired,
-                               utt_phones=utt_phones)
+                               **kw)
 
     us_first, us_last = half_means(traj_a["unpair_speech"])
     ut_first, ut_last = half_means(traj_a["unpair_text"])
@@ -230,6 +263,11 @@ def main():
     # noisy on this tiny corpus (both runs overfit past ~steps/2).
     best_a = min((v for _, v in traj_a["dev_per"]), default=float("nan"))
     best_b = min((v for _, v in traj_b["dev_per"]), default=float("nan"))
+    # ASR quality when cycles engage (VERDICT r4 #1: the bootstrappability
+    # marker) — both arms are trajectory-identical until start_step, so the
+    # last validation at/before it measures the warm-up the cycles inherit.
+    per_at_start = next((v for s, v in reversed(traj_a["dev_per"])
+                         if s <= start_step), float("nan"))
 
     ok = (us_last < us_first  # unpaired speech recon falls
           and ut_last < ut_first  # unpaired text CTC falls
@@ -240,8 +278,10 @@ def main():
         "experiment": "semi_supervised_cycles_vs_paired_only",
         "steps": args.steps,
         "cycle_start_step": start_step,
-        "corpus": "phoneme-conditioned synthetic (%d paired / 96 unpaired / 16 dev%s)"
-                  % (args.n_paired, ", shape-pinned 9-phone" if args.pin_shapes else ""),
+        "dev_per_at_cycle_start": round(per_at_start, 4),
+        "corpus": "phoneme-conditioned synthetic (%d paired / %d unpaired / 16 dev%s)"
+                  % (args.n_paired, args.n_unpaired,
+                     ", shape-pinned 9-phone" if args.pin_shapes else ""),
         "dev_tts_cycles": round(traj_a["dev_tts"][-1][1], 4) if traj_a["dev_tts"] else None,
         "dev_tts_control": round(traj_b["dev_tts"][-1][1], 4) if traj_b["dev_tts"] else None,
         "unpair_speech_loss_first_half": round(us_first, 4),

@@ -37,9 +37,12 @@ STAGES = {
     "train_text_first_b8": lambda: bench._stage_train("text_first", 8),
     "decoder_b256": lambda: bench._stage_decoder(256, with_mfu=False),
     "decoder_b512": lambda: bench._stage_decoder(512, with_mfu=False),
+    "train_paired_b128": lambda: bench._stage_train("paired", 128,
+                                                    with_mfu=True, iters=12),
 }
 DEFAULT = ["tts_e2e_b16", "serve_latency_b1", "train_speech_first_b8",
-           "train_text_first_b8", "decoder_b256", "decoder_b512"]
+           "train_text_first_b8", "decoder_b256", "decoder_b512",
+           "train_paired_b128"]
 
 
 def main(argv):
@@ -48,15 +51,17 @@ def main(argv):
     if unknown:
         raise SystemExit("unknown stage(s) %s; choose from %s"
                          % (unknown, sorted(STAGES)))
-    import getpass
-    import tempfile
+    from semi_tts_tpu.utils.compile_cache import (default_cache_dir,
+                                                  enable_compilation_cache)
 
-    from semi_tts_tpu.utils.compile_cache import enable_compilation_cache
-
-    enable_compilation_cache(
-        os.environ.get("SEMI_TTS_COMPILE_CACHE")
-        or os.path.join(tempfile.gettempdir(),
-                        "semi_tts_xla_cache_%s" % getpass.getuser()))
+    # SAME dir derivation as bench.main() — one shared helper, so the warmer
+    # can never silently fill a different cache (ADVICE r4)
+    enable_compilation_cache(default_cache_dir())
+    # Fail fast on a wedged axon tunnel (observed to block even jax.devices()
+    # for hours) instead of hanging before the first stage; the intentional
+    # no-BUDGET design only covers slow compiles, not a dead device
+    bench._device_watchdog()
+    failed = []
     for n in names:
         t0 = time.time()
         print("[warm] %s ..." % n, flush=True)
@@ -64,10 +69,14 @@ def main(argv):
             STAGES[n]()
         except Exception as e:  # keep warming the rest
             print("[warm] %s ERROR: %r" % (n, e), flush=True)
+            failed.append(n)
         else:
             print("[warm] %s done (%.1fs)" % (n, time.time() - t0),
                   flush=True)
     print("[warm] results (informational): %s" % bench._RESULTS, flush=True)
+    if failed:  # scripted callers must see a failed warm run (ADVICE r4)
+        raise SystemExit("[warm] %d/%d stages failed: %s"
+                         % (len(failed), len(names), failed))
 
 
 if __name__ == "__main__":
