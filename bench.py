@@ -245,15 +245,28 @@ def _stage_feat_tpu(iters=40):
         lambda w, l, k: (feat.featurize(w, l), feat.featurize_augmented(w, l, k)),
         wd, ld, key)
     frames = int(frame_counts(wd, ld, key))
-    rate = frames / dt
     # stability marker: median-vs-best spread of the 3 differential rounds.
     # ~1.0 = quiet device; BENCH_r04's 30% co-tenant trough would have shown
     # here as ~1.3, making a trough-hour record self-describing.
     med = float(np.median(samples)) if samples else dt
+    # marker from the RAW best-of dt: 0 = the N/4N best-of mins crossed
+    # (unmeasurable trough), not "quiet"
+    stability = round(med / dt, 3) if dt > 0 and med > 0 else 0
+    if dt <= 0:
+        # trough artifact: the independent best-of mins of the N and 4N runs
+        # crossed (a quiet window on one side only). The per-round paired
+        # differences are robust to one-sided drift — fall back to their
+        # median; if that is non-positive too there is no honest number.
+        dt = med
+    if dt <= 0:
+        raise RuntimeError(
+            "differential timing non-positive (tunnel trough): samples=%r"
+            % (samples,))
+    rate = frames / dt
     _merge(value=round(rate, 1),
            featurize_batch_ms=round(dt * 1e3, 2),
            featurize_batch_ms_median=round(med * 1e3, 2),
-           featurizer_stability_median_over_best=round(med / dt, 3) if dt else 0,
+           featurizer_stability_median_over_best=stability,
            featurization_mel_frames_per_device_sec=round(rate, 1),
            featurizer_mfu_pct=round(100 * flops / dt / V5E_BF16_PEAK, 1),
            # the frame count (numerator) includes BOTH the clean and the
@@ -398,9 +411,12 @@ def _train_batches(B):
     def on_device(seed):
         # identical structure to g._example_batch, but the (B, 132300) noise
         # waves are generated on device — a 34 MB host batch costs seconds to
-        # minutes through the tunnel depending on the day's bandwidth
-        waves, wave_len, text, sid = g._example_batch(B, 6.0, U=32, seed=seed)
-        wd = jax.jit(lambda k: jax.random.normal(k, waves.shape) * 0.1)(
+        # minutes through the tunnel depending on the day's bandwidth (and
+        # make_waves=False skips even materializing it on the host)
+        _, wave_len, text, sid = g._example_batch(B, 6.0, U=32, seed=seed,
+                                                  make_waves=False)
+        shape = (B, int(6.0 * 22050))
+        wd = jax.jit(lambda k: jax.random.normal(k, shape) * 0.1)(
             jax.random.PRNGKey(seed))
         return (wd, jnp.asarray(wave_len), jnp.asarray(text), jnp.asarray(sid))
 
@@ -685,10 +701,15 @@ def main():
             _stage_log("ERROR in %s: %r" % (name, e))
             skipped.append(name + ":error")
             _merge(**{"error_" + name: repr(e)[:200]})
+            # failed stages inform the budget model only as evidence of
+            # SLOWNESS: a fast failure's tiny ratio would inflate optimism
+            # (VERDICT r4 item 8a), but a stage that burned past its
+            # estimate before dying (e.g. a 400 s trough compile ending in
+            # an exception) is real evidence the device/queue is slow
+            actual = time.time() - t_stage
+            if actual >= est:
+                sched.record(est, actual)
         else:
-            # only SUCCESSFUL stages inform the budget model: an excepted
-            # stage's (tiny) wall time would record a misleading ratio and
-            # inflate the scheduler's optimism (VERDICT r4 item 8a)
             sched.record(est, time.time() - t_stage)
     if skipped:
         _merge(stages_skipped=skipped)

@@ -133,8 +133,11 @@ class TTSServer:
     for dict bookkeeping, never across a compile. Eviction is safe during
     use: an evicted program already handed to a caller stays valid (the
     caller holds the jitted callables); eviction only drops the cache's
-    reference. Covered by `tests/test_serve.py` (8-thread hammer against a
-    2-entry cache).
+    reference — and only ever targets COMPLETED builds, so a mid-compile
+    bucket can never be evicted into a duplicate concurrent compile (the
+    bound is therefore on *retained compiled programs*; mid-build cells may
+    transiently push the dict past it). Covered by `tests/test_serve.py`
+    (8-thread hammer against a 2-entry cache).
 
     Note: the persistent compile cache is process-global and
     last-writer-wins — constructing two servers with different
@@ -258,18 +261,36 @@ class TTSServer:
 
         Thread-safe: dict bookkeeping (hit/move/insert/evict) happens under
         the server lock; the build itself runs under the entry's own `_Once`
-        lock so a slow compile never blocks hits on other buckets."""
+        lock so a slow compile never blocks hits on other buckets. Only
+        COMPLETED cells are eviction victims: evicting a mid-build cell
+        would let a re-request for the same bucket start a duplicate
+        multi-minute compile of the identical program. So the bound holds
+        at rest, and during concurrent cold builds the dict may transiently
+        hold up to ``program_cache_size`` completed + one mid-build cell per
+        distinct in-flight bucket (cells are tiny; the compiled programs
+        themselves never exceed the bound)."""
         key = (kind, int(decode_steps))
         with self._lock:
             entry = self._programs.get(key)
             if entry is None:
                 entry = _Once(build)
                 self._programs[key] = entry
-                while len(self._programs) > self.program_cache_size:
-                    self._programs.popitem(last=False)
             else:
                 self._programs.move_to_end(key)
-        return entry.result()
+            self._evict_completed_locked()
+        value = entry.result()
+        with self._lock:  # this build may have pushed the at-rest count over
+            self._evict_completed_locked()
+        return value
+
+    def _evict_completed_locked(self):
+        """Drop oldest COMPLETED cells until within bound (caller holds
+        ``self._lock``). ``_done`` is read without the cell's own lock: a
+        stale False only postpones eviction to the post-build trim."""
+        excess = len(self._programs) - self.program_cache_size
+        if excess > 0:
+            for k in [k for k, v in self._programs.items() if v._done][:excess]:
+                del self._programs[k]
 
     def stages(self, decode_steps: int):
         """(synth, vocode) jits for one bucketed decode length (LRU-cached)."""

@@ -22,7 +22,7 @@ def cache_guard():
     jax.config.update("jax_compilation_cache_dir", None)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    cc._enabled_dir = None
+    cc._enabled = None  # the module global guarding re-enable no-ops
 
 
 def test_enable_writes_entries(tmp_path, cache_guard):

@@ -50,8 +50,12 @@ def main(argv):
             "--pin-shapes; per-run corpus/seed in `runs`" % (
                 json.load(open(files[0]))["steps"],
                 runs[0]["cycle_start_step"], runs[0]["n_paired"])),
-        "mean_dev_per_at_cycle_start": round(
-            sum(r["dev_per_at_cycle_start"] for r in runs) / n, 4),
+        # dev_per_at_cycle_start is null when no validation landed at/before
+        # the engage step — average the measured ones only
+        "mean_dev_per_at_cycle_start": (lambda vs: round(sum(vs) / len(vs), 4)
+                                        if vs else None)(
+            [r["dev_per_at_cycle_start"] for r in runs
+             if r["dev_per_at_cycle_start"] is not None]),
         "mean_dev_per_final": [mean("dev_per_final", 0), mean("dev_per_final", 1)],
         "mean_dev_per_best": [mean("dev_per_best", 0), mean("dev_per_best", 1)],
         "cycles_wins_best_per_seeds": cycles_wins_best,

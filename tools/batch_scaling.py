@@ -65,8 +65,10 @@ def main(argv=None):
 
     out = {}
     for B in bs:
-        w_np, wave_len, text, sid = g._example_batch(B, 6.0, U=32, seed=0)
-        waves = jax.jit(lambda k: jax.random.normal(k, w_np.shape) * 0.1)(
+        _, wave_len, text, sid = g._example_batch(B, 6.0, U=32, seed=0,
+                                                  make_waves=False)
+        shape = (B, int(6.0 * 22050))
+        waves = jax.jit(lambda k: jax.random.normal(k, shape) * 0.1)(
             jax.random.PRNGKey(0))
         args = (waves,) + tuple(map(jnp.asarray, (wave_len, text, sid)))
 

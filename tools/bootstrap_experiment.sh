@@ -9,7 +9,11 @@
 # Usage: bash tools/bootstrap_experiment.sh OUTDIR N_PAIRED N_UNPAIRED STEPS START_STEP SEED...
 set -u
 OUT=$1; NP=$2; NU=$3; STEPS=$4; START=$5; shift 5
+# absolutize OUT from the CALLER's cwd before cd'ing to the repo root —
+# otherwise a relative OUTDIR is created in one directory and written to
+# in another
 mkdir -p "$OUT"
+OUT=$(cd "$OUT" && pwd)
 cd "$(dirname "$0")/.."
 for SEED in "$@"; do
   f="$OUT/cycles_np${NP}_s${SEED}.json"

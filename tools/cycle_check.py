@@ -31,6 +31,11 @@ import os
 import sys
 import tempfile
 
+
+def _r4(v):
+    """4-decimal round that passes None (JSON null) through."""
+    return round(v, 4) if v is not None else None
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
@@ -219,7 +224,6 @@ def main():
 
     import numpy as np  # noqa: F401
 
-    root_a = tempfile.mkdtemp(prefix="cycles_")
     root_b = tempfile.mkdtemp(prefix="control_")
 
     utt_phones = (9, 10) if args.pin_shapes else (6, 12)
@@ -231,14 +235,15 @@ def main():
     if args.probe:
         sol_b, traj_b, _ = run_one(root_b, unpair_speech=0.0,
                                    unpair_text=0.0, **kw)
-        best_b = min((v for _, v in traj_b["dev_per"]), default=float("nan"))
+        best_b = min((v for _, v in traj_b["dev_per"]), default=None)
         result = {
             "experiment": "bootstrap_probe_paired_only",
             "steps": args.steps, "seed": args.seed,
             "n_paired": args.n_paired, "inventory": args.inventory,
-            "best_dev_per": round(best_b, 4),
+            "best_dev_per": _r4(best_b),
             "dev_per_trajectory": [[s, round(v, 4)] for s, v in traj_b["dev_per"]],
-            "bootstrappable": best_b <= 0.5,
+            # null = no validation landed, i.e. inconclusive — NOT false
+            "bootstrappable": best_b <= 0.5 if best_b is not None else None,
         }
         print(json.dumps(result))
         if args.json_out:
@@ -247,6 +252,7 @@ def main():
         return 0
 
     # reference semi-supervised weights (`config/semi-multi-spkr-paired-data.yaml`)
+    root_a = tempfile.mkdtemp(prefix="cycles_")  # probe mode never needs it
     sol_a, traj_a, ok_engaged = run_one(root_a, unpair_speech=10.0,
                                         unpair_text=1.0, **kw)
     sol_b, traj_b, _ = run_one(root_b, unpair_speech=0.0, unpair_text=0.0,
@@ -254,31 +260,36 @@ def main():
 
     us_first, us_last = half_means(traj_a["unpair_speech"])
     ut_first, ut_last = half_means(traj_a["unpair_text"])
-    per_a = traj_a["dev_per"][-1][1] if traj_a["dev_per"] else float("nan")
-    per_b = traj_b["dev_per"][-1][1] if traj_b["dev_per"] else float("nan")
+    per_a = traj_a["dev_per"][-1][1] if traj_a["dev_per"] else None
+    # None (JSON null) for missing values everywhere: a bare NaN in the
+    # output is not strict JSON and breaks jq/strict parsers downstream
+    per_b = traj_b["dev_per"][-1][1] if traj_b["dev_per"] else None
     # the deployment metric is the BEST dev PER over the run — the
     # reference's quality gate checkpoints on dev improvement and deploys
     # that best checkpoint (`bin/train_vqvae.py:332-402`, `--store-best-per`),
     # it never ships the final step. Final-step PER is recorded too but is
     # noisy on this tiny corpus (both runs overfit past ~steps/2).
-    best_a = min((v for _, v in traj_a["dev_per"]), default=float("nan"))
-    best_b = min((v for _, v in traj_b["dev_per"]), default=float("nan"))
+    best_a = min((v for _, v in traj_a["dev_per"]), default=None)
+    best_b = min((v for _, v in traj_b["dev_per"]), default=None)
     # ASR quality when cycles engage (VERDICT r4 #1: the bootstrappability
     # marker) — both arms are trajectory-identical until start_step, so the
     # last validation at/before it measures the warm-up the cycles inherit.
+    # None when no validation landed at/before start_step (valid_step >
+    # start_step): "unmeasured", not a number.
     per_at_start = next((v for s, v in reversed(traj_a["dev_per"])
-                         if s <= start_step), float("nan"))
+                         if s <= start_step), None)
 
     ok = (us_last < us_first  # unpaired speech recon falls
           and ut_last < ut_first  # unpaired text CTC falls
           and (ok_engaged or 0) > 0  # the all-blank escape disengages
+          and best_a is not None and best_b is not None
           and best_a < best_b)  # cycles' best ckpt beats the control's best
 
     result = {
         "experiment": "semi_supervised_cycles_vs_paired_only",
         "steps": args.steps,
         "cycle_start_step": start_step,
-        "dev_per_at_cycle_start": round(per_at_start, 4),
+        "dev_per_at_cycle_start": _r4(per_at_start),
         "corpus": "phoneme-conditioned synthetic (%d paired / %d unpaired / 16 dev%s)"
                   % (args.n_paired, args.n_unpaired,
                      ", shape-pinned 9-phone" if args.pin_shapes else ""),
@@ -290,10 +301,10 @@ def main():
         "unpair_text_loss_second_half": round(ut_last, 4),
         "unpair_ok_engaged_of_4": ok_engaged,
         "seed": args.seed,
-        "dev_per_cycles": round(per_a, 4),
-        "dev_per_paired_only_control": round(per_b, 4),
-        "best_dev_per_cycles": round(best_a, 4),
-        "best_dev_per_control": round(best_b, 4),
+        "dev_per_cycles": _r4(per_a),
+        "dev_per_paired_only_control": _r4(per_b),
+        "best_dev_per_cycles": _r4(best_a),
+        "best_dev_per_control": _r4(best_b),
         "dev_per_trajectory_cycles": [[s, round(v, 4)] for s, v in traj_a["dev_per"]],
         "dev_per_trajectory_control": [[s, round(v, 4)] for s, v in traj_b["dev_per"]],
         "verdict": "PASS" if ok else "FAIL",
