@@ -56,7 +56,10 @@ def main(argv):
 
     # SAME dir derivation as bench.main() — one shared helper, so the warmer
     # can never silently fill a different cache (ADVICE r4)
-    enable_compilation_cache(default_cache_dir())
+    # min_compile_seconds=0 matches bench.main(): the trivial programs must
+    # land in the cache too, or every bench run re-pays the remote compile
+    # queue (~50 s each in a trough) for them
+    enable_compilation_cache(default_cache_dir(), min_compile_seconds=0.0)
     # Fail fast on a wedged axon tunnel (observed to block even jax.devices()
     # for hours) instead of hanging before the first stage; the intentional
     # no-BUDGET design only covers slow compiles, not a dead device
