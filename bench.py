@@ -683,9 +683,11 @@ def main():
         # stage has completed, at most twice, and only while enough budget
         # remains for a warm re-run to beat a guaranteed zero.
         # a HEALTHY stage 1 runs ~140-165 s on this host (trivial programs
-        # cached); the limit must clear that with margin, while a real wedge
-        # spends only limit/budget of the run before the retry
-        limit = min(220.0, max(60.0, (deadline - time.time()) / 2.8))
+        # cached); the limit must clear that with margin EVEN after an
+        # earlier re-exec shrank the remaining budget (a floor below the
+        # healthy time would re-exec a healthy-but-slow run spuriously),
+        # while a real wedge spends only `limit` of the run before the retry
+        limit = min(220.0, max(185.0, (deadline - time.time()) / 2.8))
         if _FIRST_STAGE_DONE.wait(limit) or _PRINTED.is_set() or execs >= 2 \
                 or deadline - time.time() < 120:
             return
