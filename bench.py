@@ -156,6 +156,22 @@ def _differential_time(chained, n_lo, n_hi, samples_out=None):
     return (hi - lo) / (n_hi - n_lo)
 
 
+def _iota_noise(B, S, seed=0):
+    """Deterministic noise-like wave batch from iota (elementwise sin of an
+    irrational stride — zero-mean, bounded, non-periodic over the batch).
+    Exists because the obvious `jax.random.normal` at wave shapes is the
+    single most expensive/wedge-prone program on the axon compile service
+    (measured 46-100+ s per fresh process at (128, 176400); the iota form
+    compiles in milliseconds). Benchmark math is content-independent —
+    static shapes, no data-dependent control flow — so the distribution
+    does not matter, only the shape."""
+    import jax
+    import jax.numpy as jnp
+
+    i = jax.lax.iota(jnp.float32, B * S).reshape(B, S)
+    return jnp.sin(i * 12.9898 + seed * 78.233) * 0.1
+
+
 # ---------------------------------------------------------------------------
 # Shared lazily-built context (full-size model, step builder, batches) so the
 # per-stage functions don't rebuild it.
@@ -210,8 +226,15 @@ def _stage_feat_tpu(iters=40):
     # Generate the wave batch ON DEVICE: featurizer compute is
     # data-independent, and pushing 90 MB of host noise through the tunnel
     # costs 10-450 s depending on the day's bandwidth (r4 measured both).
-    wd = jax.jit(lambda k: jax.random.normal(k, (B, S)) * 0.1)(
-        jax.random.PRNGKey(7))
+    # Deterministic iota "noise", NOT jax.random.normal: the threefry
+    # program at this shape costs 46-100+ s per fresh process on the axon
+    # compile service and is the exact RPC observed to wedge whole bench
+    # runs (2026-08-21, three instrumented trials: noop 0.3 s, 13 MB
+    # chained-executable load 1.9 s, wave-gen 46/100/wedged s). An
+    # elementwise sin-of-iota compiles instantly and the featurizer's
+    # timing is content-independent (static shapes, no data-dependent
+    # control flow).
+    wd = jax.jit(_iota_noise, static_argnums=(0, 1))(B, S)
     ld = jnp.asarray(lengths)
 
     # Chain the iterations inside ONE program with a single scalar readback;
@@ -417,9 +440,10 @@ def _train_batches(B):
         # make_waves=False skips even materializing it on the host)
         _, wave_len, text, sid = g._example_batch(B, 6.0, U=32, seed=seed,
                                                   make_waves=False)
-        shape = (B, int(6.0 * 22050))
-        wd = jax.jit(lambda k: jax.random.normal(k, shape) * 0.1)(
-            jax.random.PRNGKey(seed))
+        # iota noise, not threefry — see _stage_feat_tpu: the threefry
+        # generation program is the wedge-prone compile-service RPC
+        wd = jax.jit(_iota_noise, static_argnums=(0, 1, 2))(
+            B, int(6.0 * 22050), seed)
         return (wd, jnp.asarray(wave_len), jnp.asarray(text), jnp.asarray(sid))
 
     return on_device(0), on_device(1)
